@@ -1,0 +1,100 @@
+"""End-to-end knowledge-graph construction pipeline (the flagship).
+
+Stage graph (SURVEY.md §7.1), all Ray Data:
+
+    pages (url, warc_ts, html, text, lang)
+      → map_batches(extract_text)          stateless tasks
+      → vectorized lang/nonempty filter    stateless tasks
+      → map_batches(MentionExtractor, concurrency=N)   actor pool
+      → raw-entity aggregation             combiner + groupby (vocab scale)
+      → blocking-key explode → groupby(block_key) pair scoring   SHUFFLE
+      → connected components               log-n groupby rounds
+      → per-component canonical election   groupby(component)
+      → triples: entity triples ∪ distinct mentioned_in (hash join)
+      → sort(subj, pred, obj)              final SHUFFLE
+
+Everything streams; nothing corpus-scale is materialized. The only
+materialized intermediates are the candidate-edge rounds inside
+connected components (vocabulary-scale by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from ..config import DomainConfig
+from ..stages.canonical import (
+    canonical_entities,
+    entity_triples,
+    mention_triples,
+    node_map,
+)
+from ..stages.cc import connected_components
+from ..stages.extract import extract_and_filter
+from ..stages.mentions import extract_mentions
+from ..stages.resolve import candidate_edges, raw_entities
+
+
+@dataclass
+class KGResult:
+    triples: "object"   # ray.data.Dataset[(subj, pred, obj)]
+    entities: "object"  # canonical entity table
+    mentions: "object"  # per-(doc, entity) mention rows
+
+
+def build_kg(
+    pages_ds,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    num_partitions: int = 16,
+    sort_triples: bool = True,
+) -> KGResult:
+    cfg = cfg or DomainConfig()
+
+    docs = extract_and_filter(pages_ds)
+    # Materialize at the mention boundary: `mentions` feeds BOTH the
+    # raw-entity aggregation and the mentioned_in triple join; without a
+    # checkpoint each consumer would re-execute the whole extraction
+    # (Ray Data executes per-consumer, it does not cache shared
+    # subplans). Mentions are ~an order of magnitude smaller than pages
+    # and spill to the object store; the resumable production path
+    # checkpoints this same boundary to Parquet (state/lineage.py).
+    mentions = extract_mentions(
+        docs, cfg, concurrency=concurrency, batch_size=batch_size
+    ).materialize()
+
+    # Everything below is vocabulary-scale (distinct names), not corpus
+    # scale — materializing is cheap and avoids re-running the shuffles.
+    raw = raw_entities(mentions).materialize()
+    if raw.count() == 0:
+        # empty corpus: blocks would carry no schema and the hash join
+        # would fail — return well-typed empty outputs instead
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ..stages.canonical import TRIPLES_SCHEMA
+
+        empty = rd.from_arrow(TRIPLES_SCHEMA.empty_table())
+        return KGResult(triples=empty, entities=raw, mentions=mentions)
+    edges = candidate_edges(raw, cfg)
+    comps = connected_components(edges)
+    entities = canonical_entities(
+        raw, comps, num_partitions=num_partitions
+    ).materialize()
+
+    nmap = node_map(entities)
+    triples = entity_triples(entities).union(
+        mention_triples(mentions, nmap, num_partitions=num_partitions)
+    )
+    if sort_triples:
+        triples = triples.sort(["subj", "pred", "obj"])
+    return KGResult(triples=triples, entities=entities, mentions=mentions)
+
+
+def build_kg_from_sf(sf_dir: str, cfg: Optional[DomainConfig] = None, **kwargs) -> KGResult:
+    from ..sources.pages import pages_dataset
+
+    return build_kg(pages_dataset(sf_dir), cfg, **kwargs)

@@ -81,13 +81,22 @@ def _pick_entry(rnd: int) -> GazEntry:
     return GAZETTEER[min(idx, len(GAZETTEER) - 1)]
 
 
+def _surface_text(entry: GazEntry) -> str:
+    """Plantable surface. Events carry their start_date inline ("<title>
+    on YYYY-MM-DD") so the stub extractor can recover the (title, date)
+    key from text alone — the reference gets the date from its LLM."""
+    if entry.entity_type == "events" and entry.attrs.get("start_date"):
+        return f"{entry.surface} on {entry.attrs['start_date']}"
+    return entry.surface
+
+
 def _mention_sentences(doc_id: int, rs: Iterator[int]) -> List[str]:
     k = 1 + next(rs) % 4  # 1-4 mention sentences per doc
     sentences = []
     for _ in range(k):
         form = _SENTENCE_FORMS[next(rs) % len(_SENTENCE_FORMS)]
-        a = _pick_entry(next(rs)).surface
-        b = _pick_entry(next(rs)).surface
+        a = _surface_text(_pick_entry(next(rs)))
+        b = _surface_text(_pick_entry(next(rs)))
         sentences.append(form.format(a=a, b=b))
     return sentences
 

@@ -1,0 +1,214 @@
+"""Typed-mention extraction — the actor-pool "model" stage.
+
+``MentionExtractor`` is the engine's deterministic stand-in for the
+reference's four LLM entity extractors
+(/root/reference/src/engine/extractors.py:19-145): a callable class for
+``map_batches(MentionExtractor, concurrency=N, batch_size=B)`` whose
+state (the compiled lexicon automaton, the domain config) is built ONCE
+per actor in ``__init__`` and reused per batch — exactly where a real
+model would load its weights. Swapping in a real LLM/NER model changes
+only this class.
+
+Per document it also runs the reference's within-article QC
+(src/utils/quality_controls.py:218-306):
+
+- exact dedup on the entity key (name / name+type / title+start_date)
+- variant collapse for organizations/locations (acronym / containment /
+  equivalence-group pairs absorb the weaker name as an alias, keeping
+  the higher canonical score; :127-215)
+- mention-validation is satisfied by construction (mentions come from
+  the text scan) — the standalone filter lives in
+  ``hinbox_ray.functions.qc`` for API parity.
+
+Output: one row per (document × surviving entity), the narrow mention
+schema the resolution stages shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..config import GAZETTEER, DomainConfig
+from ..functions.evidence import build_evidence_text
+from ..functions.names import (
+    names_likely_same,
+    normalize_display,
+    score_canonical_name,
+)
+
+_DATE_SUFFIX = r"(?:\s+on\s+(\d{4}-\d{2}-\d{2}))?"
+
+MENTIONS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("entity_type", pa.string()),
+        ("name", pa.string()),
+        ("attr_type", pa.string()),
+        ("start_date", pa.string()),
+        ("end_date", pa.string()),
+        ("event_type", pa.string()),
+        ("description", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("n_mentions", pa.int32()),
+        ("evidence", pa.string()),
+    ]
+)
+
+
+class MentionExtractor:
+    """Actor-pool stage: text → typed entity mentions + per-doc QC."""
+
+    def __init__(self, cfg: Optional[DomainConfig] = None):
+        self.cfg = cfg or DomainConfig()
+        # lexicon: longest-first alternation so full forms win over
+        # contained shorter surfaces at the same position.
+        self._by_surface: Dict[str, Tuple[str, Dict[str, Any]]] = {}
+        for e in GAZETTEER:
+            if e.surface not in self._by_surface:
+                attrs = dict(e.attrs)
+                if e.entity_type == "events":
+                    # the date comes from the text, not the lexicon
+                    attrs.pop("start_date", None)
+                self._by_surface[e.surface] = (e.entity_type, attrs)
+        surfaces = sorted(self._by_surface, key=len, reverse=True)
+        alternation = "|".join(re.escape(s) for s in surfaces)
+        self._rx = re.compile(rf"(?<!\w)({alternation})(?!\w){_DATE_SUFFIX}")
+        self._eq_groups = {
+            t: self.cfg.groups_for(t) for t in ("organizations", "locations")
+        }
+
+    # ── per-document extraction ──
+
+    def _extract_doc(self, text: str) -> List[Dict[str, Any]]:
+        found: Dict[Tuple, Dict[str, Any]] = {}
+        for m in self._rx.finditer(text):
+            surface, date = m.group(1), m.group(2) or ""
+            etype, attrs = self._by_surface[surface]
+            name = normalize_display(surface)
+            key = (
+                etype,
+                name,
+                str(attrs.get("type", "")),
+                date if etype == "events" else "",
+            )
+            if key in found:
+                found[key]["n_mentions"] += 1  # within-doc exact dedup
+            else:
+                found[key] = {
+                    "entity_type": etype,
+                    "name": name,
+                    "attr_type": str(attrs.get("type", "")),
+                    "start_date": date if etype == "events" else "",
+                    "end_date": str(attrs.get("end_date", "")),
+                    "event_type": str(attrs.get("event_type", "")),
+                    "description": str(attrs.get("description", "")),
+                    "aliases": [],
+                    "n_mentions": 1,
+                }
+        return self._collapse_variants(list(found.values()))
+
+    def _collapse_variants(self, ents: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Within-doc variant collapse for orgs/locs (first-wins pairwise,
+        higher canonical score keeps the name, loser absorbed as alias)."""
+        absorbed: set = set()
+        for i in range(len(ents)):
+            if i in absorbed or ents[i]["entity_type"] not in (
+                "organizations",
+                "locations",
+            ):
+                continue
+            for j in range(i + 1, len(ents)):
+                if j in absorbed or ents[j]["entity_type"] != ents[i]["entity_type"]:
+                    continue
+                ti, tj = ents[i]["attr_type"], ents[j]["attr_type"]
+                if ti and tj and ti != tj:
+                    continue
+                etype = ents[i]["entity_type"]
+                if names_likely_same(
+                    ents[i]["name"],
+                    ents[j]["name"],
+                    entity_type=etype,
+                    equivalence_groups=self._eq_groups[etype],
+                ):
+                    if score_canonical_name(ents[i]["name"]) >= score_canonical_name(
+                        ents[j]["name"]
+                    ):
+                        keep, drop = ents[i], ents[j]
+                        absorbed.add(j)
+                    else:
+                        keep, drop = ents[j], ents[i]
+                        absorbed.add(i)
+                    if drop["name"] not in keep["aliases"]:
+                        keep["aliases"].append(drop["name"])
+                    for a in drop["aliases"]:
+                        if a not in keep["aliases"]:
+                            keep["aliases"].append(a)
+                    if i in absorbed:
+                        break
+        return [e for k, e in enumerate(ents) if k not in absorbed]
+
+    # ── batch interface ──
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        rows: Dict[str, List[Any]] = {name: [] for name in MENTIONS_SCHEMA.names}
+        ev = self.cfg.evidence
+        for url, ts, text in zip(urls, tss, texts):
+            for ent in self._extract_doc(text or ""):
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                for f in (
+                    "entity_type",
+                    "name",
+                    "attr_type",
+                    "start_date",
+                    "end_date",
+                    "event_type",
+                    "description",
+                    "aliases",
+                    "n_mentions",
+                ):
+                    rows[f].append(ent[f])
+                rows["evidence"].append(
+                    build_evidence_text(
+                        ent["entity_type"],
+                        ent["name"],
+                        {
+                            "type": ent["attr_type"],
+                            "start_date": ent["start_date"],
+                            "event_type": ent["event_type"],
+                            "description": ent["description"],
+                        },
+                        text or "",
+                        aliases=ent["aliases"],
+                        max_chars=ev.max_chars,
+                        window_chars=ev.window_chars,
+                        max_windows=ev.max_windows,
+                    )
+                )
+        return pa.Table.from_pydict(rows, schema=MENTIONS_SCHEMA)
+
+
+def extract_mentions(
+    docs_ds,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 256,
+):
+    """docs(url, warc_ts, text, ...) → mentions Dataset via the actor pool."""
+    return docs_ds.map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

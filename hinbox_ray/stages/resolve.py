@@ -1,0 +1,272 @@
+"""Entity resolution, part 1: mentions → raw entities → candidate edges.
+
+Ray-native replacement for the reference's serial greedy merge
+(/root/reference/src/engine/mergers.py:707-1258). Instead of one thread
+mutating a global entity dict, resolution is expressed as shuffles:
+
+1. **Raw-entity aggregation** — mentions are pre-aggregated per batch
+   (combiner) and then ``groupby`` the exact entity key. Cardinality
+   drops from O(corpus mentions) to O(distinct names) — the vocabulary —
+   before anything expensive runs.
+2. **Blocking-key explode** — each raw entity emits its blocking keys
+   (exact / acronym bucket / equivalence group / MinHash-LSH bands, see
+   functions.matching.blocking_keys); ``groupby(block_key)`` is the
+   shuffle that replaces the reference's in-memory RapidFuzz index scan
+   (mergers.py:319-415).
+3. **Per-block pair scoring** — within a block, the shared deterministic
+   ``mentions_match`` predicate emits candidate edges. Skew guard: a
+   block larger than ``rep_cap`` compares all-pairs only among the top
+   ``rep_cap`` members (by mention count, then node id — deterministic)
+   and links tail members against the top ``tail_link`` representatives
+   only, bounding per-block work at O(rep_cap² + n·tail_link) — the
+   scale analog of the reference's 50-candidate cap (mergers.py:414-415)
+   and the "salted repartition for hot keys" the north rule requires:
+   connectivity for a hot name is preserved through its representatives
+   without materializing O(n²) pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DomainConfig
+from ..functions.hashing import hash_str_u64
+from ..functions.matching import blocking_keys, mentions_match
+from ..functions.names import equivalence_group_index
+
+_KEY_COLS = ["entity_type", "name", "attr_type", "start_date"]
+ALIAS_SEP = "\x1f"  # aliases stored as one joined string: pyarrow hash
+#  joins don't support list payload columns (Acero limitation)
+
+
+def join_aliases(aliases) -> str:
+    return ALIAS_SEP.join(aliases)
+
+
+def split_aliases(s) -> list:
+    return [a for a in str(s or "").split(ALIAS_SEP) if a]
+_MASK63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def node_key_strings(df: pd.DataFrame) -> pd.Series:
+    return (
+        df["entity_type"]
+        + "\x1f"
+        + df["name"]
+        + "\x1f"
+        + df["attr_type"]
+        + "\x1f"
+        + df["start_date"]
+    )
+
+
+def add_node_id(df: pd.DataFrame) -> pd.DataFrame:
+    keys = node_key_strings(df)
+    df = df.copy()
+    df["node_id"] = (hash_str_u64(keys.tolist()) & _MASK63).astype(np.int64)
+    return df
+
+
+def _reduce_mention_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Combine mention rows that share an exact entity key into one raw
+    entity row. Used both as the per-batch combiner and as the global
+    per-group reducer (it is associative/idempotent on its outputs)."""
+    df = df.sort_values("url", kind="mergesort")
+    first = df.iloc[0]
+    aliases: List[str] = []
+    seen = set()
+    for lst in df["aliases"]:
+        for a in list(lst) if lst is not None else []:
+            low = a.lower()
+            if low not in seen:
+                seen.add(low)
+                aliases.append(a)
+                if len(aliases) >= 32:  # alias cap: bounded row width
+                    break
+
+    def first_nonempty(col: str) -> str:
+        vals = df[col][df[col] != ""]
+        return str(vals.iloc[0]) if len(vals) else ""
+
+    return pd.DataFrame(
+        {
+            "entity_type": [first["entity_type"]],
+            "name": [first["name"]],
+            "attr_type": [first["attr_type"]],
+            "start_date": [first["start_date"]],
+            "end_date": [first_nonempty("end_date")],
+            "event_type": [first_nonempty("event_type")],
+            "description": [first_nonempty("description")],
+            "aliases": [join_aliases(aliases)],
+            "n_mentions": [int(df["n_mentions"].sum())],
+            "first_url": [str(df["url"].min())],
+            "first_ts": [df["warc_ts"].min()],
+            "evidence": [str(first["evidence"])],
+        }
+    )
+
+
+def _combine_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial aggregation (combiner) to shrink the shuffle."""
+    if df.empty:
+        return _reduce_mention_group(df) if len(df) else df
+    parts = [
+        _reduce_mention_group(g) for _, g in df.groupby(_KEY_COLS, sort=True)
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def _regroup(df: pd.DataFrame) -> pd.DataFrame:
+    """Global reducer over combined partials: same reduction, but sums
+    n_mentions and unions aliases across partials."""
+    df = df.sort_values("first_url", kind="mergesort")
+    first = df.iloc[0]
+    aliases: List[str] = []
+    seen = set()
+    for s_ in df["aliases"]:
+        for a in split_aliases(s_):
+            low = a.lower()
+            if low not in seen:
+                seen.add(low)
+                aliases.append(a)
+                if len(aliases) >= 32:
+                    break
+
+    def first_nonempty(col: str) -> str:
+        vals = df[col][df[col] != ""]
+        return str(vals.iloc[0]) if len(vals) else ""
+
+    out = pd.DataFrame(
+        {
+            "entity_type": [first["entity_type"]],
+            "name": [first["name"]],
+            "attr_type": [first["attr_type"]],
+            "start_date": [first["start_date"]],
+            "end_date": [first_nonempty("end_date")],
+            "event_type": [first_nonempty("event_type")],
+            "description": [first_nonempty("description")],
+            "aliases": [join_aliases(aliases)],
+            "n_mentions": [int(df["n_mentions"].sum())],
+            "first_url": [str(df["first_url"].min())],
+            "first_ts": [df["first_ts"].min()],
+            "evidence": [str(first["evidence"])],
+        }
+    )
+    return add_node_id(out)
+
+
+def raw_entities(mentions_ds):
+    """mentions → one row per distinct entity key (vocabulary scale)."""
+    combined = mentions_ds.map_batches(
+        _combine_batch, batch_format="pandas", batch_size=4096
+    )
+    return combined.groupby(_KEY_COLS).map_groups(_regroup, batch_format="pandas")
+
+
+# ──────────────────────────────────────────────
+# Blocking explode + per-block pair scoring
+# ──────────────────────────────────────────────
+
+
+def _explode_blocking(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
+    group_idx: Dict[str, Dict[str, int]] = {
+        t: equivalence_group_index(cfg.groups_for(t))
+        for t in ("people", "organizations", "locations", "events")
+    }
+    out = {
+        "block_key": [],
+        "node_id": [],
+        "entity_type": [],
+        "name": [],
+        "attr_type": [],
+        "start_date": [],
+        "aliases": [],
+        "n_mentions": [],
+    }
+    for row in df.itertuples(index=False):
+        aliases = split_aliases(row.aliases)
+        for bk in blocking_keys(
+            row.entity_type,
+            row.name,
+            aliases,
+            cfg=cfg,
+            group_index=group_idx[row.entity_type],
+        ):
+            out["block_key"].append(bk)
+            out["node_id"].append(row.node_id)
+            out["entity_type"].append(row.entity_type)
+            out["name"].append(row.name)
+            out["attr_type"].append(row.attr_type)
+            out["start_date"].append(row.start_date)
+            out["aliases"].append(join_aliases(aliases))
+            out["n_mentions"].append(row.n_mentions)
+    return pd.DataFrame(out)
+
+
+def _score_block(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
+    empty = pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
+    # drop duplicate nodes within the block (an entity can reach the same
+    # block through several variants)
+    df = df.drop_duplicates("node_id")
+    n = len(df)
+    if n < 2:
+        return empty
+
+    rep_cap = max(2, cfg.blocking.max_candidates)
+    tail_link = 8
+    df = df.sort_values(["n_mentions", "node_id"], ascending=[False, True])
+    rows = list(df.itertuples(index=False))
+    reps = rows[:rep_cap]
+    tail = rows[rep_cap:]
+
+    us: List[int] = []
+    vs: List[int] = []
+
+    def consider(a, b):
+        if mentions_match(
+            a.entity_type,
+            a.name,
+            b.name,
+            start_date_a=a.start_date,
+            start_date_b=b.start_date,
+            aliases_a=split_aliases(a.aliases),
+            aliases_b=split_aliases(b.aliases),
+            cfg=cfg,
+        ):
+            u, v = (a.node_id, b.node_id) if a.node_id < b.node_id else (b.node_id, a.node_id)
+            us.append(u)
+            vs.append(v)
+
+    for i in range(len(reps)):
+        for j in range(i + 1, len(reps)):
+            consider(reps[i], reps[j])
+    for t in tail:  # skew guard: tail links only to top representatives
+        for r in reps[:tail_link]:
+            consider(t, r)
+
+    if not us:
+        return empty
+    return pd.DataFrame({"u": np.array(us, dtype=np.int64), "v": np.array(vs, dtype=np.int64)})
+
+
+def _dedupe_edges(df: pd.DataFrame) -> pd.DataFrame:
+    return df.head(1)
+
+
+def candidate_edges(raw_entities_ds, cfg: Optional[DomainConfig] = None):
+    """raw entities → deduped candidate-match edges (node_id pairs).
+
+    SHUFFLE #1: groupby(block_key); SHUFFLE #2 (small): edge dedup.
+    """
+    cfg = cfg or DomainConfig()
+    exploded = raw_entities_ds.map_batches(
+        lambda df: _explode_blocking(df, cfg), batch_format="pandas"
+    )
+    edges = exploded.groupby("block_key").map_groups(
+        lambda g: _score_block(g, cfg), batch_format="pandas"
+    )
+    return edges.groupby(["u", "v"]).map_groups(_dedupe_edges, batch_format="pandas")
