@@ -1,0 +1,227 @@
+"""Per-partition lineage manifests + resumable extraction.
+
+The Ray-native successor of the reference's processing-status sidecar +
+content-hash skip + atomic tmp/rename writes
+(/root/reference/src/utils/processing_status.py:17-93,
+src/process_and_extract.py:549-565, src/utils/file_ops.py:293-303):
+
+- Input = a directory of pages Parquet shards; each shard is a resume
+  partition.
+- For each partition: extract+mention the shard with full-cluster
+  parallelism, write its mentions Parquet into a temp dir, atomically
+  rename it into place, then atomically write a JSON lineage manifest
+  (url range, doc/mention counts, an order-insensitive content checksum
+  of extracted text). A partition with a manifest is never reprocessed —
+  that anti-join against the manifest IS the resume mechanism; a crash
+  mid-partition leaves only a temp dir which the next run overwrites.
+- Resolution (vocabulary-scale) then runs over the checkpointed mention
+  Parquet — re-running resolution is cheap and deterministic, so only
+  the corpus-scale phase needs checkpoints.
+
+At 100 TB: one manifest per input shard (O(#shards) tiny JSON files),
+mention shards ~10× smaller than pages, and a failed `ray job` resumes
+by re-listing the manifest dir — no global state, no driver memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..config import DomainConfig
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def load_manifests(out_dir: str) -> Dict[str, Dict]:
+    mdir = _manifest_dir(out_dir)
+    out: Dict[str, Dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                rec = json.load(f)
+            out[rec["partition"]] = rec
+    return out
+
+
+def _atomic_write_json(path: str, obj: Dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def extract_partition(
+    pages_file: str,
+    out_dir: str,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> Dict:
+    """Process ONE input shard → mentions parquet + lineage manifest.
+
+    Idempotent: rerunning overwrites the temp dir and re-renames.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import hash_str_u64
+    from ..stages.extract import extract_and_filter
+    from ..stages.mentions import extract_mentions
+
+    cfg = cfg or DomainConfig()
+    stem = os.path.splitext(os.path.basename(pages_file))[0]
+    mentions_dir = os.path.join(out_dir, "mentions", f"part-{stem}")
+    tmp_dir = mentions_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+
+    pages = rd.read_parquet(pages_file)
+    docs = extract_and_filter(pages, drop_ref=True)
+
+    # stats + order-insensitive text checksum computed en route
+    def stat_batch(df: pd.DataFrame) -> pd.DataFrame:
+        hashes = hash_str_u64(df["text"].tolist())
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "text_checksum": [int(hashes.sum(dtype=np.uint64))],
+                "url_min": [df["url"].min() if len(df) else ""],
+                "url_max": [df["url"].max() if len(df) else ""],
+            }
+        )
+
+    docs = docs.materialize()  # one shard: bounded; reused for stats + mentions
+    stats = docs.map_batches(stat_batch, batch_format="pandas").to_pandas()
+
+    mentions = extract_mentions(
+        docs, cfg, concurrency=concurrency, batch_size=batch_size
+    )
+    mentions.write_parquet(tmp_dir)
+    import pyarrow.parquet as pq
+
+    n_mentions = sum(
+        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+        for f in os.listdir(tmp_dir)
+        if f.endswith(".parquet")
+    )
+    if os.path.isdir(mentions_dir):
+        shutil.rmtree(mentions_dir)
+    os.replace(tmp_dir, mentions_dir)
+
+    record = {
+        "partition": stem,
+        "source_file": pages_file,
+        "n_docs": int(stats["n_docs"].sum()) if len(stats) else 0,
+        "n_mentions": int(n_mentions),
+        "url_min": str(stats["url_min"].min()) if len(stats) else "",
+        "url_max": str(stats["url_max"].max()) if len(stats) else "",
+        "text_checksum": int(
+            np.uint64(stats["text_checksum"].astype(np.uint64).sum())
+        )
+        if len(stats)
+        else 0,
+        "mentions_dir": mentions_dir,
+    }
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    _atomic_write_json(
+        os.path.join(_manifest_dir(out_dir), f"{stem}.json"), record
+    )
+    return record
+
+
+def run_extract_with_resume(
+    pages_dir: str,
+    out_dir: str,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 256,
+) -> Dict[str, Dict]:
+    """Extract every shard in ``pages_dir`` that has no manifest yet.
+
+    Returns all manifests (pre-existing + newly written). Each shard is
+    processed with full-cluster parallelism; shards are the resume unit.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(
+        os.path.join(pages_dir, f)
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    done = load_manifests(out_dir)
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        if stem in done:
+            continue
+        done[stem] = extract_partition(
+            f, out_dir, cfg, concurrency=concurrency, batch_size=batch_size
+        )
+    return done
+
+
+def resolve_from_checkpoint(
+    out_dir: str,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    num_partitions: int = 16,
+    write_triples: bool = True,
+):
+    """Run resolution over checkpointed mentions; optionally write the
+    sorted triples Parquet (tmp+rename, so a crash never leaves a
+    half-written final output)."""
+    import ray.data as rd
+
+    from ..pipelines.kg import KGResult
+    from ..stages.canonical import (
+        canonical_entities,
+        entity_triples,
+        mention_triples,
+        node_map,
+    )
+    from ..stages.cc import connected_components
+    from ..stages.resolve import candidate_edges, raw_entities
+
+    cfg = cfg or DomainConfig()
+    mention_files = sorted(
+        os.path.join(out_dir, "mentions", d, f)
+        for d in os.listdir(os.path.join(out_dir, "mentions"))
+        if d.startswith("part-") and not d.endswith(".tmp")
+        for f in os.listdir(os.path.join(out_dir, "mentions", d))
+        if f.endswith(".parquet")
+    )
+    mentions = rd.read_parquet(mention_files)
+
+    raw = raw_entities(mentions).materialize()
+    edges = candidate_edges(raw, cfg)
+    comps = connected_components(edges)
+    entities = canonical_entities(raw, comps, num_partitions=num_partitions).materialize()
+    nmap = node_map(entities)
+    triples = entity_triples(entities).union(
+        mention_triples(mentions, nmap, num_partitions=num_partitions)
+    )
+    triples = triples.sort(["subj", "pred", "obj"])
+
+    if write_triples:
+        final = os.path.join(out_dir, "triples")
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        triples.write_parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        triples = rd.read_parquet(final)
+
+    return KGResult(triples=triples, entities=entities, mentions=mentions)
