@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2
++ the training-data toolbox); ``oracle_sql()`` gives the DuckDB
+equivalent for each SQL-expressible one. Ray is initialised by the
+driver before import — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +12,226 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → html→text → mentions → blocking → CC →
+    canonical entities → sorted (subj, pred, obj) triples."""
+    from hinbox_ray.pipelines.kg import build_kg_from_sf
+
+    return build_kg_from_sf(SF0001).triples
+
+
+def _kg_triples(sf_dir: str) -> Any:
+    from hinbox_ray.pipelines.kg import build_kg_from_sf
+
+    return build_kg_from_sf(sf_dir).triples
+
+
+def _kg_entities(sf_dir: str) -> Any:
+    from hinbox_ray.pipelines.kg import build_kg_from_sf
+
+    ents = build_kg_from_sf(sf_dir).entities
+    return ents.select_columns(
+        ["entity_id", "entity_type", "name", "aliases", "n_mentions"]
+    ).sort(["entity_id"])
+
+
+def _pages_extract_text(sf_dir: str) -> Any:
+    """html→text over the synthetic pages corpus; returns (url, sha256 of
+    extracted text). Byte-identity vs the reference bs4 semantics is
+    pinned by tests/test_html_text.py."""
+    import pyarrow as pa
+
+    from hinbox_ray.functions.hashing import sha256_hex
+    from hinbox_ray.sources.pages import pages_dataset
+    from hinbox_ray.stages.extract import extract_text_batch
+
+    def hash_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "text_sha256": pa.array(
+                    [sha256_hex(t) for t in batch["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .map_batches(hash_text, batch_format="pyarrow")
+        .sort("url")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hinbox_ray.pipelines import analytics as A
+    from hinbox_ray.pipelines import textops as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- flagship KG construction (non-SQL: LLM-stub extraction,
+        #     LSH blocking, connected components) → rows-only checks
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+        "pages_extract_text": _pages_extract_text,
+        # --- relational surface (SURVEY.md §2.3/2.5/2.6/2.7)
+        "lineitem_agg": A.lineitem_agg,
+        "orders_priority_count": A.orders_priority_count,
+        "orders_topk": A.orders_topk,
+        "top_parts_by_quantity": A.top_parts_by_quantity,
+        "lineitem_filter_project": A.lineitem_filter_project,
+        "nation_region_count": A.nation_region_count,
+        "customer_revenue_by_nation": A.customer_revenue_by_nation,
+        "events_daily": A.events_daily,
+        "events_distinct_users": A.events_distinct_users,
+        # --- training-data toolbox (dedup / fingerprints / similarity)
+        "doc_dedup_exact": T.doc_dedup_exact,
+        "doc_token_stats": T.doc_token_stats,
+        "doc_lang_id": T.doc_lang_id,
+        "doc_fingerprint": T.doc_fingerprint,
+        "doc_minhash_neardup": T.doc_minhash_neardup,
+        "knn_bruteforce": T.knn_bruteforce,
+        "embedding_neardup": T.embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from hinbox_ray.pipelines.textops import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)      AS sum_qty,
+                   CAST(floor(sum(l_extendedprice) + 0.5) AS BIGINT) AS sum_base_price,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS BIGINT)
+                                                                     AS sum_disc_price,
+                   count(*)                                          AS count_order,
+                   CAST(floor(floor(sum(l_quantity) + 0.5) / count(*) * 100 + 0.5) AS BIGINT)
+                                                                     AS avg_qty_e2
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_priority_count": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "top_parts_by_quantity": """
+            WITH agg AS (
+                SELECT l_partkey,
+                       CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, p_name, total_qty
+            FROM agg JOIN part ON l_partkey = p_partkey
+            ORDER BY total_qty DESC, l_partkey LIMIT 10
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_quantity + 0.5) AS BIGINT) AS l_quantity,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                     AS revenue_e2
+            FROM lineitem WHERE l_quantity >= 48
+        """,
+        "nation_region_count": """
+            SELECT r_name AS region_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "customer_revenue_by_nation": """
+            SELECT n_name AS nation_name,
+                   count(*) AS n_orders,
+                   CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "events_daily": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_e2
+            FROM events GROUP BY event_type, day ORDER BY event_type, day
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text_md5 ORDER BY text_md5
+        """,
+        "doc_token_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   len(t)::BIGINT AS n_tokens,
+                   coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                     AS sum_token_len,
+                   len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stopwords
+            FROM toks
+        """,
+        "doc_minhash_neardup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            gs AS (SELECT doc_id, list(DISTINCT gram) AS grams FROM g GROUP BY doc_id),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(a.grams || b.grams)) AS j
+                FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_e6
+            FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                                  * 10000 + 0.5) AS BIGINT) AS cos_e4
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_e4 FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_e4 DESC, vec_id
+            ) <= 10
+            ORDER BY query_id, cos_e4 DESC, vec_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[])
+                              * 10000 + 0.5) AS BIGINT) AS cos_e4
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+    }

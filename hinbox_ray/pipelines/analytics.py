@@ -1,0 +1,352 @@
+"""Relational operators over the driver's TPC-H-ish parquet tables.
+
+Each function takes ``sf_dir`` and returns a ``ray.data.Dataset`` whose
+rows match a DuckDB oracle SQL (registered in ``__ray_entry__.py``)
+column-for-column. They exercise the engine's relational surface — the
+Ray mapping column of SURVEY.md §2 (groupby/aggregate, hash join,
+broadcast join, filter/project, sort/limit/top-k) — on independent
+data, alongside the KG flagship pipeline.
+
+Scale notes (100 TB posture):
+
+- every read prunes columns (``read_parquet(columns=[...])``);
+- aggregations use ``Dataset.groupby().aggregate(...)`` which combines
+  partially per block before the shuffle;
+- the one genuinely large join (orders ⋈ customer) is a hash
+  ``Dataset.join``; all small sides (region, nation, part for the
+  top-k lookup) are broadcast — read once on the driver, shipped to
+  tasks in the closure, O(small) per task, no shuffle.
+
+Float determinism: the driver compares engines by exact value hash, so
+derived floats never cross the boundary raw. Policy:
+
+- raw parquet columns pass through untouched (bit-identical by
+  construction);
+- per-row derived values use ``floor(expr * scale + 0.5)`` with the
+  exact same IEEE op sequence as the oracle SQL → always identical;
+- cross-row sums of non-integral doubles are scaled so the floor
+  boundary sits ≫ any summation-order error (dollars for ~1e9 sums,
+  cents for ~1e5 sums); sums of integral doubles are exact (< 2^53).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+_ONE = pa.scalar(1.0)
+_HALF = pa.scalar(0.5)
+
+
+def _path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def read_table(
+    sf_dir: str, table: str, columns: Optional[List[str]] = None
+) -> ray.data.Dataset:
+    """Column-pruned streaming parquet read."""
+    return ray.data.read_parquet(_path(sf_dir, table), columns=columns)
+
+
+def _small_table(sf_dir: str, table: str, columns: List[str]) -> pa.Table:
+    """Driver-side read of a broadcast-small side (region/nation/part)."""
+    return pq.read_table(_path(sf_dir, table), columns=columns)
+
+
+def _floor_scaled(arr: pa.ChunkedArray, scale: float) -> pa.ChunkedArray:
+    """CAST(floor(x*scale + 0.5) AS BIGINT) — same IEEE ops as DuckDB."""
+    x = pc.cast(arr, pa.float64())
+    if scale != 1.0:
+        x = pc.multiply(x, pa.scalar(float(scale)))
+    return pc.cast(pc.floor(pc.add(x, _HALF)), pa.int64())
+
+
+def _int_col(batch: pa.Table, col: str, scale: float = 1.0) -> pa.Table:
+    idx = batch.schema.get_field_index(col)
+    return batch.set_column(idx, col, _floor_scaled(batch[col], scale))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary.
+
+    read(4 cols) → map_batches(add disc_price, zero-copy Arrow) →
+    groupby(returnflag, linestatus).aggregate(partial-combined sums).
+    sum_qty is exact (integral quantities); price sums round to whole
+    dollars; avg_qty_e2 = floor(sum/count·100+.5) from exact integers.
+    """
+
+    def add_disc_price(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(_ONE, batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    out = (
+        ds.map_batches(add_disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(batch["sum_qty"], pa.float64()),
+            pc.cast(batch["count_order"], pa.float64()),
+        )
+        batch = batch.append_column("avg_qty_e2", _floor_scaled(avg, 100.0))
+        batch = _int_col(batch, "sum_qty")
+        batch = _int_col(batch, "sum_base_price")
+        batch = _int_col(batch, "sum_disc_price")
+        return batch
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def orders_priority_count(sf_dir: str) -> ray.data.Dataset:
+    """Order count per priority bucket (groupby + count)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+    return (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+def events_daily(sf_dir: str) -> ray.data.Dataset:
+    """Events rolled up to (event_type, day): count + sum(value) cents.
+
+    Day is a 'YYYY-MM-DD' string so both engines compare plain strings
+    rather than engine-specific timestamp types.
+    """
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": day,
+                "value": batch["value"],
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = (
+        ds.map_batches(add_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value_e2"),
+        )
+    )
+    return out.map_batches(
+        lambda b: _int_col(b, "sum_value_e2", 100.0), batch_format="pyarrow"
+    ).sort(["event_type", "day"])
+
+
+def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Distinct user_id per event_type.
+
+    Two-level aggregation: groupby(event_type, user_id) collapses to the
+    distinct pairs (partial-combined per block, so the shuffle carries
+    at most |types|×|users| rows), then a cheap second groupby counts.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+    return (
+        pairs.drop_columns(["_n"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / project / sort / top-k
+
+
+def lineitem_filter_project(sf_dir: str) -> ray.data.Dataset:
+    """Predicate + projection: high-quantity line items.
+
+    revenue_e2 is a per-row derived value → identical IEEE op sequence
+    as the oracle (price·(1−disc)·100, floor(+.5)).
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["l_quantity"], 48.0))
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(_ONE, batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "l_quantity": _floor_scaled(batch["l_quantity"], 1.0),
+                "revenue_e2": _floor_scaled(revenue, 100.0),
+            }
+        )
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def orders_topk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k orders by total price (global sort + limit).
+
+    o_totalprice passes through raw (bit-identical); tie-break on
+    o_orderkey so both engines pick the same boundary rows.
+    """
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+def top_parts_by_quantity(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Pre-aggregate + top-k + broadcast lookup.
+
+    lineitem is groupby-summed on l_partkey (partial combine before the
+    shuffle), sorted for the top-k, and only then enriched with the part
+    name via a driver-broadcast dict — the part table never shuffles.
+    total_qty is a sum of integral doubles → exact BIGINT.
+    """
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    agg = ds.groupby("l_partkey").aggregate(
+        Sum("l_quantity", alias_name="total_qty")
+    )
+    agg = agg.map_batches(
+        lambda b: _int_col(b, "total_qty"), batch_format="pyarrow"
+    )
+    top = agg.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(k)
+
+    part = _small_table(sf_dir, "part", ["p_partkey", "p_name"])
+    name_of = dict(zip(part["p_partkey"].to_pylist(), part["p_name"].to_pylist()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = pa.array(
+            [name_of.get(kk) for kk in batch["l_partkey"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "p_name": names,
+                "total_qty": batch["total_qty"],
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+
+def nation_region_count(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join nation ⋈ region → nations per region."""
+    region = _small_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    rname = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = pa.array(
+            [rname.get(kk) for kk in batch["n_regionkey"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table({"region_name": names})
+
+    ds = read_table(sf_dir, "nation", columns=["n_regionkey"])
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("region_name")
+        .aggregate(Count(alias_name="n_nations"))
+        .sort("region_name")
+    )
+
+
+def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Hash join orders ⋈ customer, aggregate, then broadcast nation.
+
+    The big⋈big side uses ``Dataset.join`` (hash shuffle on the key);
+    the 25-row nation table is a driver-broadcast dict applied after the
+    aggregation so it touches |nations| rows, not |orders|. Revenue
+    rounds to whole dollars (summation-order error ≪ 0.5).
+    """
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    )
+
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    agg = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"),
+    )
+
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nname.get(kk) for kk in batch["c_nationkey"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "nation_name": names,
+                "n_orders": batch["n_orders"],
+                "revenue": _floor_scaled(batch["revenue"], 1.0),
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("nation_name")

@@ -1,0 +1,479 @@
+"""Training-data operators over the `documents` / `embeddings` tables.
+
+The large-scale-pipeline toolbox the north rule implies but the
+reference lacks (its only dedup is exact-URL skip,
+/root/reference/scripts/import_miami_herald_articles.py:132-139):
+
+- exact dedup (hash-partition, first-wins per group)
+- MinHash + LSH near-dedup (shingle → signature → band buckets →
+  candidate pairs → exact-Jaccard verify), Broder (1997)
+- SimHash / rolling-hash document fingerprints
+- token / quality statistics, language ID heuristic
+- brute-force cosine top-k similarity search over embeddings, plus a
+  threshold self-similarity pass (embedding near-dup)
+
+Determinism contract: tokenization is ``\\S+`` on the raw text, 3-token
+shingles only for docs with ≥3 tokens — exactly what the DuckDB oracle
+SQL in ``__ray_entry__.py`` computes with
+``regexp_split_to_array(trim(text),'\\s+')`` — and every float that
+crosses the engine boundary is rounded to a fixed decimal count.
+
+Scale notes:
+
+- exact dedup is one groupby on the content hash — the canonical
+  hash-partition dedup; no row text crosses the shuffle, only hashes
+  and ids;
+- LSH emits (band_key, doc_id) pairs (bounded: bands × docs), groups
+  by band, emits candidate id-pairs capped per bucket, dedups pairs,
+  then joins the hashed-shingle sets back by doc_id for exact verify —
+  shingle sets transit the shuffle at most twice (once per pair side),
+  never bands× times;
+- top-k search broadcasts the (k_q × dim) query matrix into tasks and
+  does one numpy matmul per batch; the per-query global top-k is a
+  tiny groupby over num_blocks × k candidate rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Iterable, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions.minhash import MinHasher
+
+_TOKEN_RE = re.compile(r"\S+")
+
+# Shared by doc_token_stats and the oracle SQL (keep in sync).
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# English/Spanish/German/French/Chinese marker words for the heuristic
+# language scorer (doc_lang_id). Purely illustrative on synthetic text.
+_LANG_MARKERS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "was"},
+    "es": {"el", "la", "de", "y", "en", "que", "los"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht"},
+    "fr": {"le", "la", "de", "et", "les", "des", "est"},
+    "zh": {"的", "了", "是", "在", "我", "有"},
+}
+
+
+def _tokens(text: str) -> List[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Hash-partition exact dedup: one row per distinct text.
+
+    Emits (text_md5, keep_doc_id = min doc_id in the group, n_dups).
+    Only (hash, id) pairs cross the shuffle.
+    """
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"text_md5": pa.array(md5s, type=pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(
+            Min("doc_id", alias_name="keep_doc_id"),
+            Count(alias_name="n_dups"),
+        )
+        .sort("text_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token / quality statistics
+
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token / quality counts.
+
+    All-integer outputs (n_chars, n_tokens, sum_token_len, n_stopwords)
+    so the cross-engine value hash is exact; ratios are derivable.
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, n_toks, sum_len, n_stop = [], [], [], []
+        stop = set(STOPWORDS)
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _tokens(text)
+            doc_ids.append(doc_id)
+            n_toks.append(len(toks))
+            sum_len.append(sum(map(len, toks)))
+            n_stop.append(sum(t in stop for t in toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+                "n_tokens": pa.array(n_toks, type=pa.int64()),
+                "sum_token_len": pa.array(sum_len, type=pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic language ID: argmax marker-word overlap, 'und' if none.
+
+    Deterministic tie-break = lexicographic language code. (Rows-only
+    correctness check: the heuristic is not SQL-expressible.)
+    """
+
+    def lid(batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in batch["text"].to_pylist():
+            toks = _tokens(text.lower())
+            n = len(toks)
+            best_lang, best = "und", 0
+            for lang in sorted(_LANG_MARKERS):
+                hits = sum(t in _LANG_MARKERS[lang] for t in toks)
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+            confs.append(round(best / n, 4) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, type=pa.string()),
+                "marker_ratio": pa.array(confs, type=pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """SimHash-64 + polynomial rolling hash per document (hex strings)."""
+    from ..functions.minhash import simhash64
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fp(batch: pa.Table) -> pa.Table:
+        sims, rolls = [], []
+        for text in batch["text"].to_pylist():
+            toks = _tokens(text)
+            sims.append(f"{simhash64(toks):016x}")
+            h = 0
+            for t in toks:
+                th = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                h = (h * BASE + th) % MOD
+            rolls.append(f"{h:016x}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sims, type=pa.string()),
+                "rolling_hash": pa.array(rolls, type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+
+
+_NUM_PERM = 128
+_NUM_BANDS = 32  # r = 4 rows/band → catch prob ≈ 1 for true pairs (J ≥ 0.9)
+_PAIR_CAP = 2000  # per-bucket pair cap bounds O(n²) blowup on hot buckets
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct hashed k-token shingles; empty for docs with <k tokens.
+
+    Matches the oracle: shingles exist only when the doc has ≥k tokens
+    (`WHERE len(t) >= 3` in SQL).
+    """
+    toks = _tokens(text)
+    if len(toks) < k:
+        return np.empty(0, dtype=np.uint64)
+    grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(sorted(grams)):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+class _SignatureStage:
+    """Actor-pool stage: shingle + minhash each doc once.
+
+    The MinHasher's permutation table is built once per actor
+    (``__init__``), not per batch.
+    """
+
+    def __init__(self):
+        self.hasher = MinHasher(num_perm=_NUM_PERM, seed=7)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, bands, grams = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            gh = _shingle_hashes(text)
+            if gh.size == 0:
+                continue
+            # minhash over pre-hashed shingles: a*x+b mod p directly
+            prod = (
+                self.hasher.a[:, None] * gh[None, :] + self.hasher.b[:, None]
+            ) % np.uint64((1 << 61) - 1)
+            sig = prod.min(axis=1)
+            doc_ids.append(doc_id)
+            bands.append(self.hasher.band_keys(sig, _NUM_BANDS))
+            grams.append(gh)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "bands": pa.array(bands, type=pa.list_(pa.string())),
+                # binary blobs (sorted uint64 LE bytes): pyarrow's hash
+                # join rejects list-typed payload columns, binary is fine
+                "grams": pa.array([g.tobytes() for g in grams], type=pa.binary()),
+            }
+        )
+
+
+def _minhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _SignatureStage, concurrency=2, batch_size=1024, batch_format="pyarrow"
+    )
+
+
+def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Near-duplicate pairs by MinHash-LSH, exact-Jaccard verified.
+
+    signatures → explode (band_key, doc_id) → groupby(band) candidate
+    pairs → pair dedup → join shingle sets back (twice) → exact Jaccard
+    ≥ threshold. Returns (doc_a, doc_b, jac) with doc_a < doc_b.
+    """
+    sigs = _minhash_signatures(sf_dir).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for doc_id, bands in zip(
+            batch["doc_id"].to_pylist(), batch["bands"].to_pylist()
+        ):
+            for bk in bands:
+                keys.append(bk)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        out_a, out_b = [], []
+        n = 0
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                n += 1
+                if n >= _PAIR_CAP:
+                    break
+            if n >= _PAIR_CAP:
+                break
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cands = (
+        sigs.select_columns(["doc_id", "bands"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # pair dedup (same pair found by many bands)
+    cands = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+    cands = cands.drop_columns(["_n"])
+
+    grams_ds = sigs.select_columns(["doc_id", "grams"])
+    with_a = cands.join(
+        grams_ds,
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    ).rename_columns({"grams": "grams_a"})
+    with_b = with_a.join(
+        grams_ds,
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    ).rename_columns({"grams": "grams_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ga, gb in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["grams_a"].to_pylist(),
+            batch["grams_b"].to_pylist(),
+        ):
+            sa = set(np.frombuffer(ga, dtype=np.uint64).tolist())
+            sb = set(np.frombuffer(gb, dtype=np.uint64).tolist())
+            j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                # floor(j*1e6+0.5): j is a ratio of exact integers, so
+                # both engines compute the identical double → exact int
+                out_j.append(int(np.floor(j * 1e6 + 0.5)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jac_e6": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    cols = with_b.select_columns(["doc_a", "doc_b", "grams_a", "grams_b"])
+    return cols.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+
+
+def _query_matrix(sf_dir: str, query_ids: Iterable[int]) -> np.ndarray:
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()))
+    return np.array([by_id[q] for q in query_ids], dtype=np.float64)
+
+
+def knn_bruteforce(
+    sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4), k: int = 10
+) -> ray.data.Dataset:
+    """Brute-force cosine top-k per query vector.
+
+    The (n_q × dim) normalized query matrix is broadcast into each task;
+    each batch does one float64 matmul; per-block top-k candidates then
+    a tiny global per-query top-k (sort by rounded cosine desc, vec_id
+    asc — the same deterministic order the oracle uses).
+    """
+    Q = _query_matrix(sf_dir, query_ids)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array(query_ids, dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (emb / norms) @ Qn.T  # (batch, n_q)
+        # cos_e4 = floor(cos*1e4+0.5): quantized so the 1e-16-scale
+        # summation-order drift vs the oracle can't flip a value; the
+        # top-k order is defined over the quantized value + vec_id
+        cos_e4 = np.floor(cos * 1e4 + 0.5).astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            col = cos_e4[:, qi]
+            order = np.lexsort((vec_ids, -col))[:k]
+            out_q.extend([int(qids[qi])] * len(order))
+            out_v.extend(vec_ids[order].tolist())
+            out_c.extend(col[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_e4": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_e4", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pandas")
+        .sort(["query_id", "cos_e4", "vec_id"], descending=[False, True, False])
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+    """All-pairs cosine ≥ threshold over embeddings (block × broadcast).
+
+    The scale path: one side streams in blocks, the other side is a
+    broadcast matrix chunk. Single-node test scale broadcasts the whole
+    normalized matrix (n ≤ a few thousand); at 100 TB this becomes
+    IVF/LSH bucketing — the bucketed variant is `doc_minhash_neardup`'s
+    band-groupby applied to quantized embeddings.
+    """
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    all_ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Mn = M / norms
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bn = np.linalg.norm(emb, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        cos = (emb / bn) @ Mn.T  # (batch, n_all)
+        ii, jj = np.nonzero(cos >= threshold)
+        a = vec_ids[ii]
+        b = all_ids[jj]
+        keep = a < b
+        cos_e4 = np.floor(cos[ii, jj][keep] * 1e4 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cos_e4": pa.array(cos_e4, type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(pairs, batch_format="pyarrow").sort(["vec_a", "vec_b"])
