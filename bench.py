@@ -1,0 +1,145 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+Modes:
+  python bench.py             # timed run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # same job at 8 then 32 cpus in fresh
+                              # subprocesses; reports throughputs +
+                              # scaling efficiency (N→4N proxy)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus multiplier for the KG headline: the sf tables are small enough
+# that Ray's fixed per-stage costs would otherwise dominate and hide
+# real scaling behavior; 10x sf0.1 = 50k synthesized pages
+KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "10"))
+
+# Headline set: the KG flagship plus the heavy non-KG pipelines.
+BENCH_QUERIES = [
+    "kg_triples",
+    "doc_minhash_neardup",
+    "doc_dedup_exact",
+    "knn_bruteforce",
+    "embedding_neardup",
+    "lineitem_agg",
+    "customer_revenue_by_nation",
+    "events_daily",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    from hinbox_ray.pipelines.kg import build_kg_from_sf
+
+    qs = dict(entrymod.queries())
+    qs["kg_triples"] = lambda sd: build_kg_from_sf(sd, repeat=KG_REPEAT).triples
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = _consume(qs[name](sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        rows[name] = n
+        total += dt
+
+    # docs/sec for the flagship (pages corpus = documents.parquet rows)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows * KG_REPEAT
+    out = {
+        "metric": "headline pipelines wall-time (kg_triples + dedup + knn + relational)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "kg_docs_per_sec": round(n_docs / timings["kg_triples"], 2)
+        if timings.get("kg_triples")
+        else None,
+    }
+    return out
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes (cluster-size
+    proxy per BASELINE.md): efficiency = (tp_hi / tp_lo) / (hi / lo)."""
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            env={
+                **os.environ,
+                "GRAFT_SF_DIR": sf_dir,
+                "RAY_GRAFT_CPUS": str(n),
+            },
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tp = {n: 1.0 / results[n]["value"] for n in (lo, hi)}
+    eff = (tp[hi] / tp[lo]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (proxy: num_cpus 8 vs 32, fresh sessions)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "low": {"num_cpus": lo, "sec": results[lo]["value"], "queries": results[lo]["queries"]},
+        "high": {"num_cpus": hi, "sec": results[hi]["value"], "queries": results[hi]["queries"]},
+        "sf": sf_dir,
+        "num_cpus": hi,
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        out = run_scaling(SF_DIR)
+    else:
+        out = run_bench(SF_DIR, NUM_CPUS)
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

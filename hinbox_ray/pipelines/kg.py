@@ -47,8 +47,8 @@ def build_kg(
     pages_ds,
     cfg: Optional[DomainConfig] = None,
     *,
-    concurrency: int = 4,
-    batch_size: int = 256,
+    concurrency=(2, 16),
+    batch_size: int = 128,
     num_partitions: int = 16,
     sort_triples: bool = True,
 ) -> KGResult:
@@ -94,7 +94,9 @@ def build_kg(
     return KGResult(triples=triples, entities=entities, mentions=mentions)
 
 
-def build_kg_from_sf(sf_dir: str, cfg: Optional[DomainConfig] = None, **kwargs) -> KGResult:
+def build_kg_from_sf(
+    sf_dir: str, cfg: Optional[DomainConfig] = None, *, repeat: int = 1, **kwargs
+) -> KGResult:
     from ..sources.pages import pages_dataset
 
-    return build_kg(pages_dataset(sf_dir), cfg, **kwargs)
+    return build_kg(pages_dataset(sf_dir, repeat=repeat), cfg, **kwargs)

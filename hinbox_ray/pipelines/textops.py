@@ -314,7 +314,15 @@ def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset
                     break
             if n >= _PAIR_CAP:
                 break
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        # explicit dtype: an empty list would otherwise infer object and
+        # poison the downstream hash join (pyarrow scalar hashes include
+        # the type, so one drifted block misroutes every row in it)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+            }
+        )
 
     cands = (
         sigs.select_columns(["doc_id", "bands"])
@@ -326,7 +334,22 @@ def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset
     cands = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
     cands = cands.drop_columns(["_n"])
 
-    grams_ds = sigs.select_columns(["doc_id", "grams"])
+    def pin_pair_types(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+            }
+        )
+
+    # pin key dtypes on both join sides (see bucket_pairs comment)
+    cands = cands.map_batches(pin_pair_types, batch_format="pyarrow")
+    grams_ds = sigs.select_columns(["doc_id", "grams"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "grams": t["grams"]}
+        ),
+        batch_format="pyarrow",
+    )
     with_a = cands.join(
         grams_ds,
         join_type="inner",

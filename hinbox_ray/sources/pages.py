@@ -183,7 +183,9 @@ def synthesize_page(doc_id: int, filler_text: Optional[str] = None) -> Dict:
 
     return {
         "url": f"https://example.org/crawl/{doc_id:010d}",
-        "warc_ts": _EPOCH_US + doc_id * 9_973_000_000,  # microseconds
+        # +9973s per doc, wrapped at ~10 years so arbitrarily large
+        # bench doc_ids (repeat-shifted by 10M) stay in timestamp range
+        "warc_ts": _EPOCH_US + (doc_id * 9_973_000_000) % 315_360_000_000_000,
         "html": html.encode("utf-8"),
         "text": text,
         "lang": lang,
@@ -234,16 +236,25 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str, repeat: int = 1):
+def pages_dataset(sf_dir: str, repeat: int = 1, num_blocks: int = 32):
     """Pages Dataset derived from ``{sf_dir}/documents.parquet``.
 
     Column-pruned read (doc_id, text only) → stateless map_batches
     synthesis. ``repeat`` > 1 unions shifted copies for bench-scale runs
     (doc_ids offset by 10M per copy so urls stay unique).
+
+    ``num_blocks`` splits the single-file read so the fused
+    synthesize→extract→mention chain parallelizes across the pool (a
+    one-block read would serialize the whole front of the pipeline; at
+    production scale the input is many files and this is a no-op).
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks,
+    )
     out = ds.map_batches(synthesize_pages_batch, batch_format="pyarrow")
     for r in range(1, repeat):
         offset = 10_000_000 * r

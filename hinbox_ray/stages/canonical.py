@@ -35,40 +35,66 @@ _SWAP_MARGIN = 0.3
 
 
 def _elect(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("first_url", kind="mergesort")  # first-seen order
-    names = g["name"].tolist()
-    all_variants: List[str] = []
-    for _, row in g.iterrows():
-        all_variants.append(row["name"])
-        all_variants.extend(split_aliases(row["aliases"]))
+    """Per-component canonical election = replay of the reference's
+    serial greedy merge (mergers.py:962-1017): walk members in
+    first-seen order (article order, then within-article emission
+    order), swapping the canonical name only when the incoming one
+    scores above the incumbent by more than the margin — with the
+    alias context known *at that point of the walk*, not globally.
+    Deterministic: the walk order is content-derived, not task order.
+    """
+    g = g.sort_values(["first_url", "first_ord"], kind="mergesort")
+    rows = list(g.itertuples(index=False))
+    etype = str(rows[0].entity_type)
 
-    scores = [
-        canonical_score_with_bonuses(n, [v for v in all_variants if v != n])
-        for n in names
-    ]
-    max_score = max(scores)
-    win_idx = next(i for i, s in enumerate(scores) if s >= max_score - _SWAP_MARGIN)
-    winner = g.iloc[win_idx]
-    etype = str(winner["entity_type"])
-
-    def first_nonempty(col: str) -> str:
-        vals = g[col][g[col] != ""]
-        return str(vals.iloc[0]) if len(vals) else ""
-
-    start_date = str(winner["start_date"]) or first_nonempty("start_date")
-    canon_name = str(winner["name"])
-
-    seen = {canon_name.lower()}
+    canon_name = str(rows[0].name)
+    attr_type = str(rows[0].attr_type)
+    start_date = str(rows[0].start_date)
+    end_date = str(rows[0].end_date)
+    event_type = str(rows[0].event_type)
+    description = str(rows[0].description)
     aliases: List[str] = []
-    for v in all_variants:
+    seen = {canon_name.lower()}
+
+    def absorb(v: str) -> None:
         if v and v.lower() not in seen:
             seen.add(v.lower())
             aliases.append(v)
 
+    for a in split_aliases(rows[0].aliases):
+        absorb(a)
+
+    for m in rows[1:]:
+        m_name = str(m.name)
+        m_aliases = split_aliases(m.aliases)
+        existing = canonical_score_with_bonuses(
+            canon_name, [m_name, *m_aliases, *aliases]
+        )
+        incoming = canonical_score_with_bonuses(
+            m_name, [canon_name, *aliases, *m_aliases]
+        )
+        if incoming > existing + _SWAP_MARGIN:
+            demoted = canon_name
+            canon_name = m_name
+            attr_type = str(m.attr_type) or attr_type
+            if str(m.start_date):
+                start_date = str(m.start_date)
+            absorb(demoted)
+        else:
+            absorb(m_name)
+        for a in m_aliases:
+            absorb(a)
+        end_date = end_date or str(m.end_date)
+        event_type = event_type or str(m.event_type)
+        description = description or str(m.description)
+
+    aliases = [a for a in aliases if a.lower() != canon_name.lower()]
+    winner = rows[0]
+
     if etype == "people":
         key = canon_name
     elif etype in ("organizations", "locations"):
-        key = f"{canon_name}\x1f{winner['attr_type']}"
+        key = f"{canon_name}\x1f{attr_type}"
     else:
         key = f"{canon_name}\x1f{start_date}"
 
@@ -77,16 +103,16 @@ def _elect(g: pd.DataFrame) -> pd.DataFrame:
             "entity_id": [make_entity_id(etype, key)],
             "entity_type": [etype],
             "name": [canon_name],
-            "attr_type": [str(winner["attr_type"])],
+            "attr_type": [attr_type],
             "start_date": [start_date],
-            "end_date": [first_nonempty("end_date")],
-            "event_type": [first_nonempty("event_type")],
-            "description": [first_nonempty("description")],
+            "end_date": [end_date],
+            "event_type": [event_type],
+            "description": [description],
             "aliases": [join_aliases(aliases)],
             "n_mentions": [int(g["n_mentions"].sum())],
             "first_url": [str(g["first_url"].min())],
             "first_ts": [g["first_ts"].min()],
-            "profile_text": [str(winner["evidence"])],
+            "profile_text": [str(winner.evidence)],
             "member_nodes": [g["node_id"].astype(np.int64).tolist()],
         }
     )
@@ -96,27 +122,18 @@ def canonical_entities(
     raw_entities_ds,
     components_ds,
     *,
-    num_partitions: int = 32,
+    num_partitions: int = 32,  # kept for API compat; co-group self-sizes
 ):
-    """raw entities ⋈ components → per-component election (SHUFFLE)."""
-    joined = raw_entities_ds.join(
-        components_ds,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("node_id",),
-    )
+    """raw entities ⟕ components → per-component election (SHUFFLE).
 
-    def fill_singletons(df: pd.DataFrame) -> pd.DataFrame:
-        comp = df["component"]
-        df = df.copy()
-        df["component"] = (
-            comp.fillna(df["node_id"]).astype(np.int64)
-            if comp.isna().any()
-            else comp.astype(np.int64)
-        )
-        return df
+    Uses the sort-shuffle co-group (stages/cogroup.py) instead of
+    ``Dataset.join``: a misrouted hash-join row here silently splits an
+    entity cluster, and this Ray build misroutes pandas-block joins in
+    some interpreters. Singletons default to component = own node_id.
+    """
+    from .cogroup import attach_component
 
-    joined = joined.map_batches(fill_singletons, batch_format="pandas")
+    joined = attach_component(raw_entities_ds, components_ds)
     return joined.groupby("component").map_groups(_elect, batch_format="pandas")
 
 
@@ -185,13 +202,11 @@ def mention_triples(mentions_ds, node_map_ds, *, num_partitions: int = 32):
         df = add_node_id(df)
         return df[["node_id", "url"]]
 
+    from .cogroup import attach_entity_id
+
     mention_nodes = mentions_ds.map_batches(project, batch_format="pandas")
-    joined = mention_nodes.join(
-        node_map_ds,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("node_id",),
-    )
+    # co-group instead of Dataset.join: see stages/cogroup.py
+    joined = attach_entity_id(mention_nodes, node_map_ds)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

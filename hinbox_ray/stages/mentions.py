@@ -54,6 +54,7 @@ MENTIONS_SCHEMA = pa.schema(
         ("description", pa.string()),
         ("aliases", pa.list_(pa.string())),
         ("n_mentions", pa.int32()),
+        ("doc_ord", pa.int32()),
         ("evidence", pa.string()),
     ]
 )
@@ -161,7 +162,8 @@ class MentionExtractor:
         rows: Dict[str, List[Any]] = {name: [] for name in MENTIONS_SCHEMA.names}
         ev = self.cfg.evidence
         for url, ts, text in zip(urls, tss, texts):
-            for ent in self._extract_doc(text or ""):
+            for ord_, ent in enumerate(self._extract_doc(text or "")):
+                rows["doc_ord"].append(ord_)
                 rows["url"].append(url)
                 rows["warc_ts"].append(ts)
                 for f in (
@@ -200,7 +202,7 @@ def extract_mentions(
     docs_ds,
     cfg: Optional[DomainConfig] = None,
     *,
-    concurrency: int = 4,
+    concurrency=(2, 16),  # (min, max) autoscaling actor pool
     batch_size: int = 256,
 ):
     """docs(url, warc_ts, text, ...) → mentions Dataset via the actor pool."""

@@ -75,7 +75,9 @@ def _reduce_mention_group(df: pd.DataFrame) -> pd.DataFrame:
     """Combine mention rows that share an exact entity key into one raw
     entity row. Used both as the per-batch combiner and as the global
     per-group reducer (it is associative/idempotent on its outputs)."""
-    df = df.sort_values("url", kind="mergesort")
+    # (url, doc_ord) = the reference's serial processing order: article
+    # order, then extractor emission order within the article
+    df = df.sort_values(["url", "doc_ord"], kind="mergesort")
     first = df.iloc[0]
     aliases: List[str] = []
     seen = set()
@@ -103,7 +105,8 @@ def _reduce_mention_group(df: pd.DataFrame) -> pd.DataFrame:
             "description": [first_nonempty("description")],
             "aliases": [join_aliases(aliases)],
             "n_mentions": [int(df["n_mentions"].sum())],
-            "first_url": [str(df["url"].min())],
+            "first_url": [str(first["url"])],
+            "first_ord": [int(first["doc_ord"])],
             "first_ts": [df["warc_ts"].min()],
             "evidence": [str(first["evidence"])],
         }
@@ -123,7 +126,7 @@ def _combine_batch(df: pd.DataFrame) -> pd.DataFrame:
 def _regroup(df: pd.DataFrame) -> pd.DataFrame:
     """Global reducer over combined partials: same reduction, but sums
     n_mentions and unions aliases across partials."""
-    df = df.sort_values("first_url", kind="mergesort")
+    df = df.sort_values(["first_url", "first_ord"], kind="mergesort")
     first = df.iloc[0]
     aliases: List[str] = []
     seen = set()
@@ -151,7 +154,8 @@ def _regroup(df: pd.DataFrame) -> pd.DataFrame:
             "description": [first_nonempty("description")],
             "aliases": [join_aliases(aliases)],
             "n_mentions": [int(df["n_mentions"].sum())],
-            "first_url": [str(df["first_url"].min())],
+            "first_url": [str(first["first_url"])],
+            "first_ord": [int(first["first_ord"])],
             "first_ts": [df["first_ts"].min()],
             "evidence": [str(first["evidence"])],
         }
