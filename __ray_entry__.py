@@ -93,9 +93,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": T.doc_lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         "doc_minhash_neardup": T.doc_minhash_neardup,
+        "doc_simhash_neardup": T.doc_simhash_neardup,
         "knn_bruteforce": T.knn_bruteforce,
+        "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
+        # --- windowed / per-group operators
+        "events_sessionize": A.events_sessionize,
+        "orders_top3_per_customer": A.orders_top3_per_customer,
+        "supplier_count_by_nation": A.supplier_count_by_nation,
+        "part_filter_like": A.part_filter_like,
+        # --- multimodal (stubbed decode, real Ray plumbing)
+        "multimodal_features": _multimodal_features,
     }
+
+
+def _multimodal_features(sf_dir: str) -> Any:
+    from hinbox_ray.stages.multimodal import multimodal_features
+
+    return multimodal_features(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -233,5 +248,55 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us
+                FROM events
+            ),
+            flagged AS (
+                SELECT user_id, us,
+                       CASE WHEN us - lag(us) OVER w > 1800000000
+                                 OR lag(us) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            sess AS (
+                SELECT user_id, us,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(us) AS start_us,
+                   max(us) AS end_us
+            FROM sess GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "orders_top3_per_customer": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rank
+            FROM orders WHERE o_custkey < 100
+            QUALIFY rank <= 3
+            ORDER BY o_custkey, rank
+        """,
+        "supplier_count_by_nation": """
+            SELECT n_name AS nation_name,
+                   count(*) AS n_suppliers,
+                   CAST(floor(sum(s_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_e2
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "part_filter_like": """
+            SELECT p_partkey, p_name,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2
+            FROM part WHERE p_name LIKE '%red%'
         """,
     }

@@ -350,3 +350,132 @@ def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(attach, batch_format="pyarrow").sort("nation_name")
+
+
+# ---------------------------------------------------------------------------
+# Windowed / per-group operators
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
+    """Session windows per user: a new session starts after a >gap_s
+    silence. The windowed-aggregate custom operator Ray Data lacks,
+    composed as groupby(user).map_groups over per-user time-sorted
+    frames (partitioning assumption: one user's events fit one group —
+    holds at any scale where per-user event counts are bounded).
+    Timestamps cross the engine boundary as epoch microseconds.
+    """
+    import pandas as pd
+
+    def sessionize(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # normalize to epoch microseconds regardless of the pandas
+        # datetime64 unit the block arrived in (ns vs us)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(us, prepend=us[0] - (gap_s * 1_000_000 + 1))
+        session_idx = np.cumsum(gaps > gap_s * 1_000_000) - 1
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "session_idx": session_idx, "us": us}
+        )
+        agg = out.groupby("session_idx", sort=True).agg(
+            user_id=("user_id", "first"),
+            n_events=("us", "size"),
+            start_us=("us", "min"),
+            end_us=("us", "max"),
+        )
+        agg = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "session_idx": agg["session_idx"].astype("int64"),
+                "n_events": agg["n_events"].astype("int64"),
+                "start_us": agg["start_us"].astype("int64"),
+                "end_us": agg["end_us"].astype("int64"),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .sort(["user_id", "session_idx"])
+    )
+
+
+def orders_top3_per_customer(sf_dir: str, max_custkey: int = 100) -> ray.data.Dataset:
+    """Per-group top-k (rank window): top-3 orders by price for the
+    first ``max_custkey`` customers. Filter pushed to the scan batch."""
+    import pandas as pd
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_custkey"], max_custkey))
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return (
+        ds.map_batches(fil, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["o_custkey", "rank"])
+    )
+
+
+def supplier_count_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Supplier count + account-balance cents per nation (broadcast
+    lookup after the aggregation, as in customer_revenue_by_nation)."""
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    agg = ds.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_suppliers"),
+        Sum("s_acctbal", alias_name="acctbal_e2"),
+    )
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nname.get(kk) for kk in batch["s_nationkey"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "nation_name": names,
+                "n_suppliers": batch["n_suppliers"],
+                "acctbal_e2": _floor_scaled(batch["acctbal_e2"], 100.0),
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("nation_name")
+
+
+def part_filter_like(sf_dir: str, needle: str = "red") -> ray.data.Dataset:
+    """String-predicate scan: parts whose name contains ``needle``."""
+    ds = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch["p_name"], needle)
+        batch = batch.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "p_name": batch["p_name"],
+                "price_e2": _floor_scaled(batch["p_retailprice"], 100.0),
+            }
+        )
+
+    return ds.map_batches(fil, batch_format="pyarrow")

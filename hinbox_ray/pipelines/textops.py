@@ -277,12 +277,76 @@ def _minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dataset":
+    """Sort-shuffle co-group: fill grams_{a,b} for the pair rows keyed by
+    ``side`` (doc_a or doc_b). With ``dedup`` every pair (a, b) collapses
+    to one row — all rows for a given doc_a are co-located in its group,
+    so the dedup is global without a separate shuffle. Avoids
+    ``Dataset.join`` (hash-join misrouting + per-join actor spin-up; see
+    stages/cogroup.py)."""
+    gcol = "grams_a" if side == "doc_a" else "grams_b"
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].astype(np.int64).to_numpy(),
+                "doc_b": df["doc_b"].astype(np.int64).to_numpy(),
+                "_src": np.int8(0),
+            }
+        )
+        for c in ("grams_a", "grams_b"):
+            out[c] = df[c].to_numpy() if c in df.columns else b""
+        return out[["doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
+
+    def tag_right(t: pa.Table) -> pd.DataFrame:
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_a": ids if side == "doc_a" else np.int64(-1),
+                "doc_b": ids if side == "doc_b" else np.int64(-1),
+                "_src": np.full(n, 1, dtype=np.int8),
+            }
+        )
+        blobs = t["grams"].to_pylist()
+        out["grams_a"] = blobs if side == "doc_a" else b""
+        out["grams_b"] = blobs if side == "doc_b" else b""
+        return out[["doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
+
+    def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+        maps = g[g["_src"] == 1]
+        rows = g[g["_src"] == 0]
+        if rows.empty or maps.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype=np.int64),
+                    "doc_b": pd.Series(dtype=np.int64),
+                    "grams_a": pd.Series(dtype=object),
+                    "grams_b": pd.Series(dtype=object),
+                }
+            )
+        if dedup:
+            rows = rows.drop_duplicates(["doc_a", "doc_b"])
+        rows = rows.drop(columns=["_src"]).copy()
+        rows[gcol] = maps[gcol].iloc[0]
+        return rows
+
+    left = pairs_ds.map_batches(tag_left, batch_format="pandas")
+    right = sigs_ds.select_columns(["doc_id", "grams"]).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+    return left.union(right).groupby(side).map_groups(
+        resolve_group, batch_format="pandas"
+    )
+
+
 def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """Near-duplicate pairs by MinHash-LSH, exact-Jaccard verified.
 
     signatures → explode (band_key, doc_id) → groupby(band) candidate
-    pairs → pair dedup → join shingle sets back (twice) → exact Jaccard
-    ≥ threshold. Returns (doc_a, doc_b, jac) with doc_a < doc_b.
+    pairs → co-group shingle sets back per side (dedup folded into the
+    first co-group) → exact Jaccard ≥ threshold. Returns
+    (doc_a, doc_b, jac_e6) with doc_a < doc_b.
     """
     sigs = _minhash_signatures(sf_dir).materialize()
 
@@ -330,40 +394,8 @@ def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # pair dedup (same pair found by many bands)
-    cands = cands.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
-    cands = cands.drop_columns(["_n"])
-
-    def pin_pair_types(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_a": t["doc_a"].cast(pa.int64()),
-                "doc_b": t["doc_b"].cast(pa.int64()),
-            }
-        )
-
-    # pin key dtypes on both join sides (see bucket_pairs comment)
-    cands = cands.map_batches(pin_pair_types, batch_format="pyarrow")
-    grams_ds = sigs.select_columns(["doc_id", "grams"]).map_batches(
-        lambda t: pa.table(
-            {"doc_id": t["doc_id"].cast(pa.int64()), "grams": t["grams"]}
-        ),
-        batch_format="pyarrow",
-    )
-    with_a = cands.join(
-        grams_ds,
-        join_type="inner",
-        num_partitions=8,
-        on=("doc_a",),
-        right_on=("doc_id",),
-    ).rename_columns({"grams": "grams_a"})
-    with_b = with_a.join(
-        grams_ds,
-        join_type="inner",
-        num_partitions=8,
-        on=("doc_b",),
-        right_on=("doc_id",),
-    ).rename_columns({"grams": "grams_b"})
+    with_a = _attach_grams(cands, sigs, "doc_a", dedup=True)
+    with_b = _attach_grams(with_a, sigs, "doc_b", dedup=False)
 
     def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -500,3 +532,178 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(pairs, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (scale-path) similarity search
+
+
+_N_PLANES = 8  # 2^8 = 256 coarse buckets
+
+
+def _hyperplanes(dim: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((_N_PLANES, dim))
+    return H / np.linalg.norm(H, axis=1, keepdims=True)
+
+
+def _bucket_of(M: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row of M (shape (n,))."""
+    bits = (M @ H.T) > 0  # (n, planes)
+    return (bits @ (1 << np.arange(_N_PLANES))).astype(np.int64)
+
+
+def knn_ivf(
+    sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4), k: int = 10
+) -> ray.data.Dataset:
+    """ANN top-k via LSH sign-bucket inverted lists with multi-probe.
+
+    The scale path for `knn_bruteforce`: each vector is assigned a
+    random-hyperplane sign bucket; a query probes its own bucket plus
+    all 1-bit-flip neighbors (9 of 256 buckets ≈ 3.5% of the corpus
+    scanned). Rows-only correctness (recall vs brute force is pinned by
+    tests); output shape matches knn_bruteforce.
+    """
+    Q = _query_matrix(sf_dir, query_ids)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    dim = Q.shape[1]
+    H = _hyperplanes(dim)
+    qids = np.array(query_ids, dtype=np.int64)
+    q_buckets = _bucket_of(Qn, H)  # (n_q,)
+    # margin-based multi-probe (Lv et al., VLDB 2007): a neighbor that
+    # lands in a different bucket almost always flips the planes where
+    # the query's projection is smallest, so probe every combination of
+    # flips over the 6 lowest-|margin| planes (2^6 = 64 of 256 buckets
+    # ≈ 25% of the corpus scanned, vs 100% for brute force — the
+    # recall/cost dial; these near-random synthetic embeddings need a
+    # wide probe, clustered real embeddings need far less)
+    margins = np.abs(Qn @ H.T)  # (n_q, planes)
+    probe_sets = []
+    for qi, b in enumerate(q_buckets):
+        soft = np.argsort(margins[qi])[:6]
+        probes = {int(b)}
+        for mask in range(1 << len(soft)):
+            flipped = int(b)
+            for k in range(len(soft)):
+                if mask & (1 << k):
+                    flipped ^= 1 << int(soft[k])
+            probes.add(flipped)
+        probe_sets.append(probes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        En = emb / norms
+        buckets = _bucket_of(En, H)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(buckets, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            cand = En[mask]
+            cand_ids = vec_ids[mask]
+            cos_e4 = np.floor(cand @ Qn[qi] * 1e4 + 0.5).astype(np.int64)
+            order = np.lexsort((cand_ids, -cos_e4))[:k]
+            out_q.extend([int(qids[qi])] * len(order))
+            out_v.extend(cand_ids[order].tolist())
+            out_c.extend(cos_e4[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos_e4": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_e4", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pandas")
+        .sort(["query_id", "cos_e4", "vec_id"], descending=[False, True, False])
+    )
+
+
+def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs by 64-bit SimHash: 4×16-bit band blocking →
+    per-bucket candidate pairs → Hamming verify ≤ max_hamming.
+
+    Pairs within ``max_hamming`` ≤ 15 are guaranteed caught (pigeonhole:
+    ≤3 differing bits cannot touch all 4 bands). Rows-only correctness
+    (tests pin it against the O(n²) scan).
+    """
+    from ..functions.minhash import simhash64
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, sims = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids.append(doc_id)
+            sims.append(simhash64(_tokens(text)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, ids, sims = [], [], []
+        for doc_id, sh in zip(
+            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
+        ):
+            for band in range(4):
+                chunk = (sh >> (band * 16)) & 0xFFFF
+                keys.append(f"{band}:{chunk:04x}")
+                ids.append(doc_id)
+                sims.append(sh)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        shs = rows["simhash"].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        n = min(len(ids), 200)  # per-bucket cap (hot 16-bit buckets)
+        for i in range(n):
+            for j in range(i + 1, n):
+                h = bin(int(shs[i]) ^ int(shs[j])).count("1")
+                if h <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_h.append(h)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "hamming": np.array(out_h, dtype=np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # same pair can surface from several bands → global dedup
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
+    )

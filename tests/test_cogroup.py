@@ -1,0 +1,83 @@
+"""Co-group attach correctness (the Dataset.join replacement on the
+canonical path — a hash join here silently split entity clusters)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _raw_frame(node_ids):
+    n = len(node_ids)
+    return pd.DataFrame(
+        {
+            "entity_type": ["people"] * n,
+            "name": [f"n{i}" for i in range(n)],
+            "attr_type": [""] * n,
+            "start_date": [""] * n,
+            "end_date": [""] * n,
+            "event_type": [""] * n,
+            "description": [""] * n,
+            "aliases": [""] * n,
+            "n_mentions": np.ones(n, dtype=np.int64),
+            "first_url": [f"https://x/{i}" for i in range(n)],
+            "first_ord": np.zeros(n, dtype=np.int64),
+            "first_ts": pd.to_datetime(["2020-01-01"] * n),
+            "evidence": [""] * n,
+            "node_id": np.array(node_ids, dtype=np.int64),
+        }
+    )
+
+
+def test_attach_component_matches_and_defaults(ray_session):
+    import ray.data as rd
+
+    from hinbox_ray.stages.cogroup import attach_component
+
+    # 63-bit ids — the range where a dtype drift would corrupt a join
+    ids = [(1 << 62) + 5, (1 << 61) + 9, 77, 12345]
+    raw = rd.from_pandas(_raw_frame(ids))
+    comps = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node_id": np.array(ids[:2], dtype=np.int64),
+                "component": np.array([42, 42], dtype=np.int64),
+            }
+        )
+    )
+    out = attach_component(raw, comps).to_pandas()
+    got = dict(zip(out.node_id, out.component))
+    assert got[ids[0]] == 42 and got[ids[1]] == 42
+    # singletons default to their own node id
+    assert got[77] == 77 and got[12345] == 12345
+    assert len(out) == 4
+    # every raw column survives
+    assert "evidence" in out.columns and "first_ord" in out.columns
+
+
+def test_attach_entity_id_inner_semantics(ray_session):
+    import ray.data as rd
+
+    from hinbox_ray.stages.cogroup import attach_entity_id
+
+    mention_nodes = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node_id": np.array([1, 1, 2, 3], dtype=np.int64),
+                "url": ["u1", "u2", "u3", "u4"],
+            }
+        )
+    )
+    nmap = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node_id": np.array([1, 2], dtype=np.int64),
+                "entity_id": ["e:a", "e:b"],
+            }
+        )
+    )
+    out = attach_entity_id(mention_nodes, nmap).to_pandas()
+    pairs = set(zip(out.entity_id, out.url))
+    # node 3 has no mapping → dropped (inner); 1 keeps both urls
+    assert pairs == {("e:a", "u1"), ("e:a", "u2"), ("e:b", "u3")}

@@ -1,0 +1,99 @@
+"""ANN recall, SimHash near-dup parity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    from hinbox_ray.pipelines.textops import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(SF).to_pandas()
+    ivf = knn_ivf(SF).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        truth = set(bf[bf.query_id == q]["vec_id"])
+        got = set(ivf[ivf.query_id == q]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    # margin-multi-probe scans ~25% of the corpus; the synthetic
+    # embeddings are near-random (top-10 "neighbors" sit at cos ≈ 0.3,
+    # barely above the background), so recall ~0.4 is the honest number
+    # here — clustered real embeddings concentrate into few buckets and
+    # recall rises accordingly. Measured 0.42 mean at both sf tiers.
+    assert np.mean(recalls) >= 0.3, recalls
+    # the query vector itself is always its own nearest neighbor
+    for q in ivf["query_id"].unique():
+        top = ivf[ivf.query_id == q].iloc[0]
+        assert top["vec_id"] == q
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.functions.minhash import hamming64, simhash64
+    from hinbox_ray.pipelines.textops import _tokens, doc_simhash_neardup
+
+    got = doc_simhash_neardup(SF).to_pandas()
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sigs = {
+        d: simhash64(_tokens(x))
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming64(sigs[ids[i]], sigs[ids[j]]) <= 3:
+                want.add((ids[i], ids[j]))
+    # banding with ≤3 differing bits over 4×16-bit bands is lossless
+    assert got_pairs == want
+    assert (got["hamming"] <= 3).all()
+
+
+def test_multimodal_decode_deterministic(ray_session):
+    from hinbox_ray.stages.multimodal import multimodal_features
+
+    a = multimodal_features(SF).to_pandas()
+    b = multimodal_features(SF).to_pandas()
+    assert a.equals(b)
+    assert a["decode_ok"].all()
+    assert (a["width"] >= 32).all() and (a["height"] >= 32).all()
+    # mean luma of uniform bytes ≈ 127.5
+    assert abs(a["luma_e4"].mean() / 1e4 - 127.5) < 5
+
+
+def test_multimodal_corrupt_payload_never_poisons_block():
+    from hinbox_ray.stages.multimodal import ImageDecodeStage
+
+    stage = ImageDecodeStage()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"garbage", b""], type=pa.binary()),
+        }
+    )
+    out = stage(batch)
+    assert out["decode_ok"].to_pylist() == [False, False]
+
+
+def test_frame_sample_stage():
+    from hinbox_ray.stages.multimodal import (
+        FrameSampleStage,
+        synthesize_media_blob,
+    )
+
+    stage = FrameSampleStage(k=4)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "payload": pa.array([synthesize_media_blob(7)], type=pa.binary()),
+        }
+    )
+    out = stage(batch)
+    assert out.num_rows == 4
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
