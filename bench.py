@@ -23,10 +23,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus multiplier for the KG headline: the sf tables are small enough
 # that Ray's fixed per-stage costs would otherwise dominate and hide
-# real scaling behavior; 10x sf0.1 = 50k synthesized pages
-KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "10"))
+# real scaling behavior; 40x sf0.1 = 200k synthesized pages
+KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "40"))
 
 # Headline set: the KG flagship plus the heavy non-KG pipelines.
+# GRAFT_BENCH_QUERIES (comma-separated) narrows the set — the scaling
+# mode uses it to time just the flagship at both parallelism levels.
 BENCH_QUERIES = [
     "kg_triples",
     "doc_minhash_neardup",
@@ -37,6 +39,8 @@ BENCH_QUERIES = [
     "customer_revenue_by_nation",
     "events_daily",
 ]
+if os.environ.get("GRAFT_BENCH_QUERIES"):
+    BENCH_QUERIES = os.environ["GRAFT_BENCH_QUERIES"].split(",")
 
 
 def _consume(res) -> int:
@@ -109,6 +113,9 @@ def run_scaling(sf_dir: str) -> dict:
                 **os.environ,
                 "GRAFT_SF_DIR": sf_dir,
                 "RAY_GRAFT_CPUS": str(n),
+                "GRAFT_BENCH_QUERIES": os.environ.get(
+                    "GRAFT_BENCH_QUERIES", "kg_triples"
+                ),
             },
             capture_output=True,
             text=True,

@@ -47,7 +47,7 @@ def build_kg(
     pages_ds,
     cfg: Optional[DomainConfig] = None,
     *,
-    concurrency=(2, 16),
+    concurrency=None,  # None → size the extractor pool to cluster CPUs
     batch_size: int = 128,
     num_partitions: int = 16,
     sort_triples: bool = True,

@@ -54,11 +54,14 @@ def _elect(g: pd.DataFrame) -> pd.DataFrame:
     event_type = str(rows[0].event_type)
     description = str(rows[0].description)
     aliases: List[str] = []
-    seen = {canon_name.lower()}
 
     def absorb(v: str) -> None:
-        if v and v.lower() not in seen:
-            seen.add(v.lower())
+        # membership is checked against the aliases AND the canon name
+        # *as of this step* (oracle _merge_into.absorb semantics): a
+        # name that is the canon now can still be absorbed after a
+        # later swap demotes it
+        low = {a.lower() for a in aliases} | {canon_name.lower()}
+        if v and v.lower() not in low:
             aliases.append(v)
 
     for a in split_aliases(rows[0].aliases):
@@ -88,7 +91,6 @@ def _elect(g: pd.DataFrame) -> pd.DataFrame:
         event_type = event_type or str(m.event_type)
         description = description or str(m.description)
 
-    aliases = [a for a in aliases if a.lower() != canon_name.lower()]
     winner = rows[0]
 
     if etype == "people":

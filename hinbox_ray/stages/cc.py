@@ -39,13 +39,13 @@ def _symmetrize(df: pd.DataFrame) -> pd.DataFrame:
 
 def _large_star_group(g: pd.DataFrame) -> pd.DataFrame:
     u = int(g["u"].iloc[0])
-    nbrs = g["v"].to_numpy()
+    nbrs = np.unique(g["v"].to_numpy())
     m = min(int(nbrs.min()), u)
     big = nbrs[nbrs > u]
     if len(big) == 0:
         return _EMPTY
     out = pd.DataFrame({"u": big.astype(np.int64), "v": np.int64(m)})
-    return out[out["u"] != out["v"]].drop_duplicates()
+    return out[out["u"] != out["v"]]
 
 
 def _orient_max_min(df: pd.DataFrame) -> pd.DataFrame:
@@ -58,9 +58,9 @@ def _orient_max_min(df: pd.DataFrame) -> pd.DataFrame:
 
 def _small_star_group(g: pd.DataFrame) -> pd.DataFrame:
     u = int(g["u"].iloc[0])
-    nbrs = g["v"].to_numpy()
+    nbrs = np.unique(g["v"].to_numpy())
     m = int(nbrs.min())
-    nodes = np.unique(np.append(nbrs, u))
+    nodes = np.append(nbrs, u)
     keep = nodes[nodes != m]
     if len(keep) == 0:
         return _EMPTY
@@ -80,7 +80,7 @@ def _checksum(edges) -> Tuple[int, int]:
     return int(agg["n"].sum()), int(np.uint64(agg["c"].astype(np.uint64).sum()))
 
 
-def connected_components(edges_ds, *, max_rounds: int = 12):
+def connected_components(edges_ds, *, max_rounds: int = 24):
     """edges(u:int64, v:int64) → Dataset(node_id:int64, component:int64).
 
     Every node that appears in an edge gets a row; the component id is
@@ -101,6 +101,13 @@ def connected_components(edges_ds, *, max_rounds: int = 12):
             )
         )
 
+    # Alternate large-star / small-star, REPLACING the edge set each
+    # half-round (Kiveris et al. Alg. 2). Unioning with the previous
+    # round's edges — the naive reading — accumulates stale edges and
+    # explodes on dense graphs (a 2k-node random graph ran out of
+    # memory before converging). Per-batch drop_duplicates bounds
+    # transient multi-edges without a global dedup shuffle; the
+    # converged star forest is duplicate-free, so the checksum settles.
     prev = (-1, -1)
     for _ in range(max_rounds):
         large = (
@@ -108,13 +115,13 @@ def connected_components(edges_ds, *, max_rounds: int = 12):
             .groupby("u")
             .map_groups(_large_star_group, batch_format="pandas")
         )
-        combined = edges.union(large)
         small = (
-            combined.map_batches(_orient_max_min, batch_format="pandas")
+            large.map_batches(_orient_max_min, batch_format="pandas")
             .groupby("u")
             .map_groups(_small_star_group, batch_format="pandas")
-            .groupby(["u", "v"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .map_batches(
+                lambda df: df.drop_duplicates(), batch_format="pandas"
+            )
         )
         edges = small.materialize()
         sig = _checksum(edges)

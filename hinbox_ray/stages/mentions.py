@@ -202,10 +202,15 @@ def extract_mentions(
     docs_ds,
     cfg: Optional[DomainConfig] = None,
     *,
-    concurrency=(2, 16),  # (min, max) autoscaling actor pool
+    concurrency=None,  # None → (2, cluster CPUs) autoscaling actor pool
     batch_size: int = 256,
 ):
     """docs(url, warc_ts, text, ...) → mentions Dataset via the actor pool."""
+    if concurrency is None:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (2, max(4, n))
     return docs_ds.map_batches(
         MentionExtractor,
         fn_constructor_kwargs={"cfg": cfg},
