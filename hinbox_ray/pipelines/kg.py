@@ -100,3 +100,23 @@ def build_kg_from_sf(
     from ..sources.pages import pages_dataset
 
     return build_kg(pages_dataset(sf_dir, repeat=repeat), cfg, **kwargs)
+
+
+def write_kg(result: KGResult, out_dir: str) -> dict:
+    """Materialize the graph as partitioned Parquet.
+
+    ``triples/`` and ``entities/`` each get one file per block (never
+    one giant file), so a consumer can list/read shards independently
+    and a re-run with the same out_dir replaces shards atomically at
+    the filesystem level. Corpus-scale resume lives one stage earlier
+    (state/lineage.py checkpoints mentions per input partition);
+    everything from mentions to triples is vocabulary-scale and cheap
+    to recompute.
+    """
+    import os
+
+    tri_dir = os.path.join(out_dir, "triples")
+    ent_dir = os.path.join(out_dir, "entities")
+    result.triples.write_parquet(tri_dir)
+    result.entities.drop_columns(["member_nodes"]).write_parquet(ent_dir)
+    return {"triples_dir": tri_dir, "entities_dir": ent_dir}

@@ -255,24 +255,32 @@ def pages_dataset(sf_dir: str, repeat: int = 1, num_blocks: int = 32):
         columns=["doc_id", "text"],
         override_num_blocks=num_blocks,
     )
-    out = ds.map_batches(synthesize_pages_batch, batch_format="pyarrow")
-    for r in range(1, repeat):
-        offset = 10_000_000 * r
+    if repeat == 1:
+        return ds.map_batches(synthesize_pages_batch, batch_format="pyarrow")
 
-        def shift(batch: pa.Table, _off=offset) -> pa.Table:
-            import pyarrow.compute as pc
+    # expand the copies INSIDE one map stage (each batch synthesizes all
+    # `repeat` shifted copies of its rows): a union of `repeat` read
+    # branches makes repeat×num_blocks tiny blocks whose per-task
+    # overhead grows superlinearly — one read, one stage instead
+    def synth_repeated(batch: pa.Table, _r=repeat) -> pa.Table:
+        import pyarrow.compute as pc
 
-            return batch.set_column(
+        parts = []
+        for r in range(_r):
+            shifted = batch.set_column(
                 batch.schema.get_field_index("doc_id"),
                 "doc_id",
-                pc.add(batch.column("doc_id"), _off),
+                pc.add(batch.column("doc_id"), 10_000_000 * r),
             )
+            parts.append(synthesize_pages_batch(shifted))
+        return pa.concat_tables(parts)
 
-        shifted = ds.map_batches(shift, batch_format="pyarrow").map_batches(
-            synthesize_pages_batch, batch_format="pyarrow"
-        )
-        out = out.union(shifted)
-    return out
+    # bound the OUTPUT block size: each input row becomes `repeat` pages
+    return ds.map_batches(
+        synth_repeated,
+        batch_format="pyarrow",
+        batch_size=max(4, 4096 // repeat),
+    )
 
 
 def write_pages_parquet(out_dir: str, n: int, num_shards: int = 8) -> List[str]:

@@ -207,8 +207,23 @@ def mention_triples(mentions_ds, node_map_ds, *, num_partitions: int = 32):
     from .cogroup import attach_entity_id
 
     mention_nodes = mentions_ds.map_batches(project, batch_format="pandas")
-    # co-group instead of Dataset.join: see stages/cogroup.py
+    # local pre-dedup: same-doc repeat mentions of one node collapse here
+    mention_nodes = mention_nodes.map_batches(
+        lambda df: df.drop_duplicates(["node_id", "url"]),
+        batch_format="pandas",
+    )
+    # salted co-group instead of Dataset.join: see stages/cogroup.py
     joined = attach_entity_id(mention_nodes, node_map_ds)
+
+    # distinct across name variants: two nodes in one doc can resolve to
+    # one entity. Dedup groups by (entity, salt) — duplicates share the
+    # url, urls share the salt, so the dedup is exact while hot entities
+    # still spread over n_salts reduce tasks (skew handling). Grouping
+    # by the (subj, obj) pair instead would make one tiny group per
+    # distinct pair and per-group overhead dominates (~40s at sf0.1×20).
+    deduped = joined.groupby(["entity_id", "salt"]).map_groups(
+        lambda g: g.drop_duplicates("url"), batch_format="pandas"
+    )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -219,8 +234,4 @@ def mention_triples(mentions_ds, node_map_ds, *, num_partitions: int = 32):
             }
         )
 
-    triples = joined.map_batches(emit, batch_format="pandas")
-    # distinct: two raw names in one doc can resolve to one entity
-    return triples.groupby(["subj", "obj"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return deduped.map_batches(emit, batch_format="pandas")

@@ -80,15 +80,37 @@ def _checksum(edges) -> Tuple[int, int]:
     return int(agg["n"].sum()), int(np.uint64(agg["c"].astype(np.uint64).sum()))
 
 
-def connected_components(edges_ds, *, max_rounds: int = 24):
+def connected_components(
+    edges_ds, *, max_rounds: int = 24, small_edge_threshold: int = 200_000
+):
     """edges(u:int64, v:int64) → Dataset(node_id:int64, component:int64).
 
     Every node that appears in an edge gets a row; the component id is
     the minimum node id of the component. Singleton nodes (no edges) are
     absent — callers left-join and default to the node's own id.
+
+    Size-based physical plan (the same decision as broadcast-vs-shuffle
+    join): below ``small_edge_threshold`` edges, the log-n shuffle
+    rounds cost more in fixed stage latency than the whole problem —
+    run union-find on the driver and return it as a Dataset. Above it,
+    the dataset-native star-contraction loop is the scale path.
     """
     edges = edges_ds.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if 0 < n_edges <= small_edge_threshold:
+        import ray.data as rd
+
+        mapping = components_driver(edges)
+        items = sorted(mapping.items())
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node_id": np.array([k for k, _ in items], dtype=np.int64),
+                    "component": np.array([v for _, v in items], dtype=np.int64),
+                }
+            )
+        )
+    if n_edges == 0:
         import pyarrow as pa
         import ray.data as rd
 

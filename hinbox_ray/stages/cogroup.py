@@ -98,13 +98,31 @@ def attach_component(raw_ds, comps_ds):
     )
 
 
-def attach_entity_id(mention_nodes_ds, node_map_ds):
-    """(node_id, url) ⋈ (node_id → entity_id) via co-group (inner)."""
+def _url_salt(urls: pd.Series, n_salts: int) -> np.ndarray:
+    """Deterministic per-url salt (pandas' fixed-key siphash — stable
+    across processes and nodes)."""
+    return (
+        pd.util.hash_pandas_object(urls, index=False).to_numpy() % n_salts
+    ).astype(np.int64)
+
+
+def attach_entity_id(mention_nodes_ds, node_map_ds, *, n_salts: int = 16):
+    """(node_id, url) ⋈ (node_id → entity_id) via SALTED co-group (inner).
+
+    Hot-entity skew handling (the north rule's "salted repartitioning"):
+    a popular name ("United States") concentrates a large fraction of
+    all mention rows under one node_id, so an unsalted groupby puts them
+    in one reduce task. The group key is (node_id, salt(url)); the tiny
+    node→entity map is replicated to every salt. Salting by URL also
+    keeps every duplicate of a given (entity, url) pair in the same
+    salted group, so downstream dedup stays exact.
+    """
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "node_id": df["node_id"].astype(np.int64).to_numpy(),
+                "salt": _url_salt(df["url"], n_salts),
                 "url": df["url"].astype(str),
                 "entity_id": "",
                 "_src": np.int8(0),
@@ -112,25 +130,46 @@ def attach_entity_id(mention_nodes_ds, node_map_ds):
         )
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        n = len(df)
+        reps = pd.DataFrame(
             {
-                "node_id": df["node_id"].astype(np.int64).to_numpy(),
+                "node_id": np.repeat(
+                    df["node_id"].astype(np.int64).to_numpy(), n_salts
+                ),
+                "salt": np.tile(np.arange(n_salts, dtype=np.int64), n),
                 "url": "",
-                "entity_id": df["entity_id"].astype(str),
+                "entity_id": np.repeat(
+                    df["entity_id"].astype(str).to_numpy(), n_salts
+                ),
                 "_src": np.int8(1),
             }
         )
+        return reps
 
     def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
         maps = g[g["_src"] == 1]
         rows = g[g["_src"] == 0]
         if rows.empty or maps.empty:
-            return pd.DataFrame({"entity_id": pd.Series(dtype=object), "url": pd.Series(dtype=object)})
+            return pd.DataFrame(
+                {
+                    "entity_id": pd.Series(dtype=object),
+                    "url": pd.Series(dtype=object),
+                    "salt": pd.Series(dtype=np.int64),
+                }
+            )
         eid = str(maps["entity_id"].iloc[0])
-        return pd.DataFrame({"entity_id": eid, "url": rows["url"].to_numpy()})
+        # within-group dedup is exact for this node (same url → same salt)
+        urls = rows["url"].drop_duplicates().to_numpy()
+        return pd.DataFrame(
+            {
+                "entity_id": eid,
+                "url": urls,
+                "salt": np.int64(int(rows["salt"].iloc[0])),
+            }
+        )
 
     left = mention_nodes_ds.map_batches(tag_left, batch_format="pandas")
     right = node_map_ds.map_batches(tag_right, batch_format="pandas")
-    return left.union(right).groupby("node_id").map_groups(
+    return left.union(right).groupby(["node_id", "salt"]).map_groups(
         resolve_group, batch_format="pandas"
     )

@@ -161,6 +161,13 @@ class MentionExtractor:
 
         rows: Dict[str, List[Any]] = {name: [] for name in MENTIONS_SCHEMA.names}
         ev = self.cfg.evidence
+        # evidence text is vocabulary-scale data (one sample per entity
+        # survives the reduce: the globally-first mention's); building it
+        # for every mention row is corpus-scale work carrying ~1 KB/row
+        # through the shuffle for nothing. Batches arrive in url order,
+        # so the first occurrence of a key in THIS batch is also the
+        # batch's candidate for globally-first — only it gets evidence.
+        seen_keys: set = set()
         for url, ts, text in zip(urls, tss, texts):
             for ord_, ent in enumerate(self._extract_doc(text or "")):
                 rows["doc_ord"].append(ord_)
@@ -178,6 +185,16 @@ class MentionExtractor:
                     "n_mentions",
                 ):
                     rows[f].append(ent[f])
+                key = (
+                    ent["entity_type"],
+                    ent["name"],
+                    ent["attr_type"],
+                    ent["start_date"],
+                )
+                if key in seen_keys:
+                    rows["evidence"].append("")
+                    continue
+                seen_keys.add(key)
                 rows["evidence"].append(
                     build_evidence_text(
                         ent["entity_type"],
@@ -202,15 +219,22 @@ def extract_mentions(
     docs_ds,
     cfg: Optional[DomainConfig] = None,
     *,
-    concurrency=None,  # None → (2, cluster CPUs) autoscaling actor pool
+    concurrency=None,  # None → fixed pool sized to cluster CPUs
     batch_size: int = 256,
 ):
     """docs(url, warc_ts, text, ...) → mentions Dataset via the actor pool."""
     if concurrency is None:
         import ray
 
+        # a FIXED pool: autoscaling ramps from min and on a short phase
+        # never reaches cluster width, flattening CPU scaling; the
+        # extractor's __init__ is cheap so spawning all actors up front
+        # costs little. Use ~3/4 of the cluster: the upstream read/synth
+        # tasks need real CPU share too — a pool equal to cluster width
+        # starves them and the pipeline stalls; 2 leftover CPUs starve
+        # the READ instead and the actors idle.
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (2, max(4, n))
+        concurrency = max(2, (n * 3) // 4)
     return docs_ds.map_batches(
         MentionExtractor,
         fn_constructor_kwargs={"cfg": cfg},

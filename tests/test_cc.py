@@ -79,3 +79,30 @@ def test_matches_driver_union_find(ray_session):
     assert set(got) == set(drv)
     # canonical min-labels agree
     assert got == drv
+
+
+def test_dataset_native_path_dense_and_chain(ray_session):
+    """Force the shuffle-round path (threshold=0) on graphs that broke
+    the union-accumulating variant: dense random and a long path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hinbox_ray.stages.cc import components_driver, connected_components
+
+    rng = np.random.default_rng(3)
+    cases = {
+        "dense": (rng.integers(0, 500, 1500), rng.integers(0, 500, 1500)),
+        "chain": (np.arange(0, 400), np.arange(1, 401)),
+    }
+    for name, (u, v) in cases.items():
+        m = u != v
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {"u": u[m].astype(np.int64), "v": v[m].astype(np.int64)}
+            )
+        )
+        comps = connected_components(edges, small_edge_threshold=0).to_pandas()
+        truth = components_driver(edges)
+        got = dict(zip(comps.node_id, comps.component))
+        assert got == truth, name

@@ -100,3 +100,19 @@ def test_deterministic_across_runs(ray_session, kg):
     assert list(zip(t1["subj"], t1["pred"], t1["obj"])) == list(
         zip(t2["subj"], t2["pred"], t2["obj"])
     )
+
+
+def test_write_kg_partitioned_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hinbox_ray.pipelines.kg import build_kg, write_kg
+    from hinbox_ray.sources.pages import generate_pages_table
+
+    res = build_kg(rd.from_arrow(generate_pages_table(60)))
+    out = write_kg(res, str(tmp_path))
+    tri = pq.read_table(out["triples_dir"])
+    assert set(tri.column_names) == {"subj", "pred", "obj"}
+    assert tri.num_rows == res.triples.count()
+    ents = pq.read_table(out["entities_dir"])
+    assert "entity_id" in ents.column_names
