@@ -23,8 +23,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus multiplier for the KG headline: the sf tables are small enough
 # that Ray's fixed per-stage costs would otherwise dominate and hide
-# real scaling behavior; 40x sf0.1 = 200k synthesized pages
-KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "40"))
+# real behavior. Normal mode: 200x sf0.1 = 1M synthesized pages.
+# --scaling uses 1000x (5M pages) so per-CPU work dominates stage
+# latency at both parallelism levels.
+KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "200"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "1000"))
 
 # Headline set: the KG flagship plus the heavy non-KG pipelines.
 # GRAFT_BENCH_QUERIES (comma-separated) narrows the set — the scaling
@@ -70,7 +73,9 @@ def ensure_corpus(sf_dir: str, repeat: int) -> str:
 
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
-    pages_dataset(sf_dir, repeat=repeat).write_parquet(tmp)
+    pages_dataset(sf_dir, repeat=repeat).write_parquet(
+        tmp, compression="zstd", row_group_size=20_000
+    )
     os.replace(tmp, out)
     with open(marker, "w") as f:
         f.write("ok")
@@ -140,6 +145,21 @@ def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes (cluster-size
     proxy per BASELINE.md): efficiency = (tp_hi / tp_lo) / (hi / lo)."""
     lo, hi = 8, 32
+    # generate the shared corpus up front at full parallelism so neither
+    # timed leg pays for it
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, %r); import ray; "
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False, logging_level='ERROR'); "
+            "import bench; bench.ensure_corpus(%r, %d); ray.shutdown()"
+            % (os.path.dirname(os.path.abspath(__file__)), hi, sf_dir, SCALING_REPEAT),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
     results = {}
     for n in (lo, hi):
         proc = subprocess.run(
@@ -151,6 +171,7 @@ def run_scaling(sf_dir: str) -> dict:
                 "GRAFT_BENCH_QUERIES": os.environ.get(
                     "GRAFT_BENCH_QUERIES", "kg_triples"
                 ),
+                "GRAFT_KG_REPEAT": str(SCALING_REPEAT),
             },
             capture_output=True,
             text=True,

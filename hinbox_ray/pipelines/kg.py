@@ -62,9 +62,21 @@ def build_kg(
     # subplans). Mentions are ~an order of magnitude smaller than pages
     # and spill to the object store; the resumable production path
     # checkpoints this same boundary to Parquet (state/lineage.py).
-    mentions = extract_mentions(
-        docs, cfg, concurrency=concurrency, batch_size=batch_size
-    ).materialize()
+    # Coalesce before the checkpoint: the actor stage emits one block
+    # per batch (thousands of tiny blocks at bench scale), and every
+    # downstream sort/groupby pays per-block cost three times over.
+    import ray as _ray
+
+    n_cpus = (
+        int(_ray.cluster_resources().get("CPU", 4))
+        if _ray.is_initialized()
+        else 4
+    )
+    mentions = (
+        extract_mentions(docs, cfg, concurrency=concurrency, batch_size=batch_size)
+        .repartition(max(32, n_cpus * 4))
+        .materialize()
+    )
 
     # Everything below is vocabulary-scale (distinct names), not corpus
     # scale — materializing is cheap and avoids re-running the shuffles.
