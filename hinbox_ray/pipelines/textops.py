@@ -45,6 +45,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -272,8 +273,15 @@ class _SignatureStage:
 
 def _minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if ray.is_initialized():
+        n = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        n = 4
     return ds.map_batches(
-        _SignatureStage, concurrency=2, batch_size=1024, batch_format="pyarrow"
+        _SignatureStage,
+        concurrency=max(2, n // 2),
+        batch_size=512,
+        batch_format="pyarrow",
     )
 
 
