@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": T.embedding_neardup,
         # --- windowed / per-group operators
         "events_sessionize": A.events_sessionize,
+        "events_asof_last_error": A.events_asof_last_error,
         "orders_top3_per_customer": A.orders_top3_per_customer,
         "supplier_count_by_nation": A.supplier_count_by_nation,
         "part_filter_like": A.part_filter_like,
@@ -276,6 +277,24 @@ def oracle_sql() -> dict[str, str]:
                    max(us) AS end_us
             FROM sess GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        "events_asof_last_error": """
+            WITH o AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, user_id, event_type, us,
+                       max(CASE WHEN event_type = 'error' THEN us END) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS last_err
+                FROM o
+            )
+            SELECT event_id, user_id, us AS click_us,
+                   coalesce(last_err, -1) AS last_error_us
+            FROM w WHERE event_type = 'click'
+            ORDER BY user_id, event_id
         """,
         "orders_top3_per_customer": """
             SELECT o_orderkey, o_custkey, o_totalprice,

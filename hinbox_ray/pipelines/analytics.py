@@ -479,3 +479,49 @@ def part_filter_like(sf_dir: str, needle: str = "red") -> ray.data.Dataset:
         )
 
     return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def events_asof_last_error(sf_dir: str) -> ray.data.Dataset:
+    """Per-user AS-OF join (a custom operator Ray Data lacks): for each
+    'click' event, attach the timestamp of the most recent PRIOR
+    'error' event of the same user (-1 if none).
+
+    Composition: groupby(user_id) co-locates each user's history, the
+    per-group kernel sorts by time and resolves the as-of lookup with
+    one vectorized searchsorted. Partitioning assumption: one user's
+    events fit in one group (bounded per-user history) — the same
+    assumption any keyed as-of join makes before falling back to
+    time-bucketed range partitioning.
+    """
+    import pandas as pd
+
+    def asof(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_err = (g["event_type"] == "error").to_numpy()
+        # positional running max of error timestamps, shifted one row —
+        # exactly the oracle's ROWS UNBOUNDED PRECEDING AND 1 PRECEDING
+        # frame (a same-microsecond earlier ROW counts as prior)
+        vals = np.where(is_err, us, np.int64(-1))
+        run = np.maximum.accumulate(vals)
+        prior = np.concatenate(([np.int64(-1)], run[:-1]))
+        is_click = (g["event_type"] == "click").to_numpy()
+        clicks = g[is_click]
+        return pd.DataFrame(
+            {
+                "event_id": clicks["event_id"].to_numpy().astype(np.int64),
+                "user_id": clicks["user_id"].to_numpy().astype(np.int64),
+                "click_us": us[is_click],
+                "last_error_us": prior[is_click].astype(np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )
