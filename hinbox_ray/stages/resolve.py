@@ -65,9 +65,19 @@ def node_key_strings(df: pd.DataFrame) -> pd.Series:
 
 
 def add_node_id(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic 63-bit node id per entity key.
+
+    Vectorized pandas siphash (fixed default key → stable across
+    processes/nodes); node ids are internal to the resolution graph, so
+    only cross-process determinism matters, not a specific function.
+    The per-row blake2b loop this replaces cost ~2 µs/row — material on
+    the corpus-scale mention path.
+    """
     keys = node_key_strings(df)
     df = df.copy()
-    df["node_id"] = (hash_str_u64(keys.tolist()) & _MASK63).astype(np.int64)
+    df["node_id"] = (
+        pd.util.hash_pandas_object(keys, index=False).to_numpy() & _MASK63
+    ).astype(np.int64)
     return df
 
 
