@@ -195,25 +195,68 @@ def entity_triples(entities_ds):
     return entities_ds.map_batches(_entity_triples_batch, batch_format="pandas")
 
 
-def mention_triples(mentions_ds, node_map_ds, *, num_partitions: int = 32):
+def mention_triples(
+    mentions_ds,
+    node_map_ds,
+    *,
+    num_partitions: int = 32,
+    broadcast_threshold: int = 5_000_000,
+):
     """(entity_id, "mentioned_in", url) — one per linked article
-    (reference: article link-once at mergers.py:1002-1017)."""
+    (reference: article link-once at mergers.py:1002-1017).
+
+    Size-based plan: the node→entity map is vocabulary-scale. When it
+    fits comfortably in memory (≤ broadcast_threshold rows) it is
+    ``ray.put`` once and every task maps node→entity locally — ONE
+    shuffle (the salted dedup) instead of two. Past the threshold, the
+    salted co-group (stages/cogroup.py) attaches ids with a shuffle.
+    """
+    import ray as _ray
+
+    from .cogroup import _url_salt
     from .resolve import add_node_id
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        df = add_node_id(df)
-        return df[["node_id", "url"]]
+    n_salts = 16
 
-    from .cogroup import attach_entity_id
+    nmap_df = None
+    if node_map_ds.count() <= broadcast_threshold:
+        nmap_df = node_map_ds.to_pandas()
 
-    mention_nodes = mentions_ds.map_batches(project, batch_format="pandas")
-    # local pre-dedup: same-doc repeat mentions of one node collapse here
-    mention_nodes = mention_nodes.map_batches(
-        lambda df: df.drop_duplicates(["node_id", "url"]),
-        batch_format="pandas",
-    )
-    # salted co-group instead of Dataset.join: see stages/cogroup.py
-    joined = attach_entity_id(mention_nodes, node_map_ds)
+    if nmap_df is not None:
+        nmap_ref = _ray.put(
+            dict(zip(nmap_df["node_id"].astype(np.int64), nmap_df["entity_id"]))
+        )
+
+        def project_map(df: pd.DataFrame, nmap=nmap_ref) -> pd.DataFrame:
+            lookup = _ray.get(nmap) if isinstance(nmap, _ray.ObjectRef) else nmap
+            df = add_node_id(df)
+            df = df.drop_duplicates(["node_id", "url"])
+            eids = df["node_id"].map(lookup)
+            keep = eids.notna()
+            out = pd.DataFrame(
+                {
+                    "entity_id": eids[keep].astype(str),
+                    "url": df["url"][keep].astype(str),
+                }
+            )
+            out["salt"] = _url_salt(out["url"], n_salts)
+            return out
+
+        joined = mentions_ds.map_batches(project_map, batch_format="pandas")
+    else:
+        from .cogroup import attach_entity_id
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            df = add_node_id(df)
+            return df[["node_id", "url"]]
+
+        mention_nodes = mentions_ds.map_batches(project, batch_format="pandas")
+        # local pre-dedup: same-doc repeats of one node collapse here
+        mention_nodes = mention_nodes.map_batches(
+            lambda df: df.drop_duplicates(["node_id", "url"]),
+            batch_format="pandas",
+        )
+        joined = attach_entity_id(mention_nodes, node_map_ds, n_salts=n_salts)
 
     # distinct across name variants: two nodes in one doc can resolve to
     # one entity. Dedup groups by (entity, salt) — duplicates share the
