@@ -325,7 +325,29 @@ def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         num_partitions=8,
         on=("o_custkey",),
         right_on=("c_custkey",),
-    )
+    ).materialize()
+    # guard: every order has a customer, so the inner join must preserve
+    # the row count. This Ray build's hash join can silently misroute
+    # rows when a block's key dtype drifts (see stages/cogroup.py) — on
+    # any loss, fall back to a broadcast map join.
+    if joined.count() != orders.count():
+        nat_of = dict(
+            zip(
+                *(
+                    _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])[c].to_pylist()
+                    for c in ("c_custkey", "c_nationkey")
+                )
+            )
+        )
+
+        def attach_nat(batch: pa.Table) -> pa.Table:
+            keys = pa.array(
+                [nat_of.get(k) for k in batch["o_custkey"].to_pylist()],
+                type=pa.int32(),
+            )
+            return batch.append_column("c_nationkey", keys)
+
+        joined = orders.map_batches(attach_nat, batch_format="pyarrow")
     agg = joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="revenue"),
