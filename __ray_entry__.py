@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": T.doc_lang_id,
         "doc_fingerprint": T.doc_fingerprint,
         "doc_minhash_neardup": T.doc_minhash_neardup,
+        "doc_jaccard_sample": T.doc_jaccard_sample,
+        "doc_wordpiece_count": T.doc_wordpiece_count,
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -223,6 +225,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_e6
             FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "doc_jaccard_sample": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            g AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            gs AS (SELECT doc_id, list(DISTINCT gram) AS grams FROM g GROUP BY doc_id),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / len(list_distinct(a.grams || b.grams)) AS j
+                FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_e6
+            FROM p WHERE j >= 0.2 ORDER BY doc_a, doc_b
+        """,
+        "doc_wordpiece_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
+                     AS n_pieces
+            FROM documents
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -96,6 +96,44 @@ class DomainConfig:
     def groups_for(self, entity_type: str) -> List[List[str]]:
         return self.equivalence_groups.get(entity_type, [])
 
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DomainConfig":
+        """Build a domain config from a plain dict (the reference's
+        configs/<domain>/config.yaml shape, src/config_loader.py):
+        unknown keys are ignored, nested sections map onto the
+        sub-dataclasses, everything else keeps its default."""
+        kwargs: Dict[str, Any] = {}
+        for key in ("domain", "similarity_thresholds", "equivalence_groups",
+                    "embedding_dim", "embedding_model"):
+            if key in d:
+                kwargs[key] = d[key]
+        if "blocking" in d:
+            kwargs["blocking"] = BlockingConfig(
+                **{
+                    k: v
+                    for k, v in d["blocking"].items()
+                    if k in BlockingConfig.__dataclass_fields__
+                }
+            )
+        if "evidence" in d:
+            kwargs["evidence"] = EvidenceConfig(
+                **{
+                    k: v
+                    for k, v in d["evidence"].items()
+                    if k in EvidenceConfig.__dataclass_fields__
+                }
+            )
+        return cls(**kwargs)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "DomainConfig":
+        """Load a domain package config (the user-extension surface —
+        reference: configs/<domain>/config.yaml + src/config_loader.py)."""
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
 
 # ──────────────────────────────────────────────
 # Gazetteer (deterministic stub-extraction lexicon + generator material)

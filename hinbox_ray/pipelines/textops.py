@@ -715,3 +715,106 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         .map_groups(lambda g: g.head(1), batch_format="pandas")
         .sort(["doc_a", "doc_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled exact n-gram Jaccard + BPE-ish token counting
+
+_WORDPIECE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def doc_jaccard_sample(
+    sf_dir: str, modulo: int = 2, threshold: float = 0.2
+) -> ray.data.Dataset:
+    """Exact all-pairs token-3-gram Jaccard over a deterministic sample
+    (doc_id % modulo == 0): the ground-truth companion to the LSH path,
+    runnable at any scale on a fixed-rate sample. Pairs with J ≥
+    threshold, jac_e6 integers (exact cross-engine)."""
+
+    def grams_batch(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if doc_id % modulo != 0:
+                continue
+            gh = _shingle_hashes(text)
+            if gh.size == 0:
+                continue
+            ids.append(doc_id)
+            blobs.append(gh.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "grams": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sampled = ds.map_batches(grams_batch, batch_format="pyarrow").materialize()
+    # sample is small by construction: broadcast it and scan pairs per batch
+    all_rows = sampled.take_all()
+    by_id = {r["doc_id"]: set(np.frombuffer(r["grams"], dtype=np.uint64)) for r in all_rows}
+    ids_sorted = sorted(by_id)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a in batch["doc_id"].to_pylist():
+            sa = by_id[a]
+            for b in ids_sorted:
+                if b <= a:
+                    continue
+                sb = by_id[b]
+                j = len(sa & sb) / len(sa | sb)
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(int(np.floor(j * 1e6 + 0.5)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jac_e6": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    out = sampled.select_columns(["doc_id"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    # well-typed even when no pair clears the threshold (an empty
+    # untyped Dataset would fail the driver's schema comparison)
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jac_e6": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    return out.union(empty).sort(["doc_a", "doc_b"])
+
+
+def doc_wordpiece_count(sf_dir: str) -> ray.data.Dataset:
+    """Sub-word-ish token counting with an explicit regex
+    (letters-runs | digit-runs | single punct), the shared contract with
+    the oracle's regexp_extract_all."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids, counts = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids.append(doc_id)
+            counts.append(len(_WORDPIECE_RE.findall(text.lower())))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_pieces": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(count, batch_format="pyarrow")

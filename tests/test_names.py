@@ -108,3 +108,29 @@ def test_variant_texts():
     assert got[0] == "Department of Homeland Security"
     assert "DHS" in got  # alias kept, derived acronym deduped case-insensitively
     assert len([t for t in got if t.lower() == "dhs"]) == 1
+
+
+def test_domain_config_from_yaml(tmp_path):
+    from hinbox_ray.config import DomainConfig
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        """
+domain: court
+similarity_thresholds: {people: 0.9, default: 0.7}
+blocking: {lexical_cutoff: 70, max_candidates: 10, unknown_key: 1}
+evidence: {max_chars: 800}
+equivalence_groups:
+  organizations:
+    - [Department of Justice, DOJ]
+"""
+    )
+    cfg = DomainConfig.from_yaml(str(p))
+    assert cfg.domain == "court"
+    assert cfg.threshold("people") == 0.9
+    assert cfg.threshold("events") == 0.7
+    assert cfg.blocking.lexical_cutoff == 70
+    assert cfg.blocking.max_candidates == 10
+    assert cfg.blocking.max_block_pairs == 2000  # default kept
+    assert cfg.evidence.max_chars == 800
+    assert ["Department of Justice", "DOJ"] in cfg.groups_for("organizations")
