@@ -348,15 +348,70 @@ def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dat
     )
 
 
-def doc_minhash_neardup(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+def doc_minhash_neardup(
+    sf_dir: str,
+    threshold: float = 0.5,
+    *,
+    small_corpus_threshold: int = 20_000,
+) -> ray.data.Dataset:
     """Near-duplicate pairs by MinHash-LSH, exact-Jaccard verified.
 
     signatures → explode (band_key, doc_id) → groupby(band) candidate
     pairs → co-group shingle sets back per side (dedup folded into the
     first co-group) → exact Jaccard ≥ threshold. Returns
     (doc_a, doc_b, jac_e6) with doc_a < doc_b.
+
+    Size-based plan (same decision as the CC hybrid): signatures are
+    computed distributed either way, but below
+    ``small_corpus_threshold`` docs the banding/verify stages cost more
+    in shuffle latency than the whole problem — collect the (tiny)
+    signature table and finish on the driver with identical logic. The
+    dataset path is the scale path and is pinned by tests at
+    threshold=0.
     """
     sigs = _minhash_signatures(sf_dir).materialize()
+
+    if sigs.count() <= small_corpus_threshold:
+        rows = sigs.take_all()
+        buckets: dict = {}
+        for r in rows:
+            for bk in r["bands"]:
+                buckets.setdefault(bk, []).append(r["doc_id"])
+        grams = {
+            r["doc_id"]: set(np.frombuffer(r["grams"], dtype=np.uint64))
+            for r in rows
+        }
+        cand = set()
+        for ids in buckets.values():
+            ids = sorted(set(ids))
+            n = 0
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+                    n += 1
+                    if n >= _PAIR_CAP:
+                        break
+                if n >= _PAIR_CAP:
+                    break
+        out_a, out_b, out_j = [], [], []
+        for a, b in sorted(cand):
+            sa, sb = grams[a], grams[b]
+            j = len(sa & sb) / len(sa | sb) if (sa or sb) else 1.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(np.floor(j * 1e6 + 0.5)))
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(out_a, type=pa.int64()),
+                    "doc_b": pa.array(out_b, type=pa.int64()),
+                    "jac_e6": pa.array(out_j, type=pa.int64()),
+                }
+            )
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         keys, ids = [], []

@@ -97,3 +97,13 @@ def test_frame_sample_stage():
     out = stage(batch)
     assert out.num_rows == 4
     assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_minhash_dataset_path_matches_driver_path(ray_session):
+    from hinbox_ray.pipelines.textops import doc_minhash_neardup
+
+    drv = doc_minhash_neardup(SF).to_pandas()
+    ds = doc_minhash_neardup(SF, small_corpus_threshold=0).to_pandas()
+    a = set(map(tuple, drv[["doc_a", "doc_b", "jac_e6"]].itertuples(index=False)))
+    b = set(map(tuple, ds[["doc_a", "doc_b", "jac_e6"]].itertuples(index=False)))
+    assert a == b and len(a) > 0
