@@ -65,6 +65,21 @@ def dates_compatible(a: str, b: str) -> bool:
     return (not a) or (not b) or a == b
 
 
+def embeddings_compatible(
+    dim_a: int, model_a: str, dim_b: int, model_b: str
+) -> bool:
+    """Embedding-compat predicate (reference mergers.py:164-212):
+    vectors are comparable iff dims match and, when both models are
+    known, the models match. Kept as an explicit column predicate so a
+    mixed-model corpus (e.g. after an embedding upgrade) degrades to
+    the lexical path instead of comparing incompatible vectors."""
+    if dim_a != dim_b:
+        return False
+    if model_a and model_b and model_a != model_b:
+        return False
+    return True
+
+
 def mentions_match(
     entity_type: str,
     name_a: str,

@@ -134,3 +134,12 @@ equivalence_groups:
     assert cfg.blocking.max_block_pairs == 2000  # default kept
     assert cfg.evidence.max_chars == 800
     assert ["Department of Justice", "DOJ"] in cfg.groups_for("organizations")
+
+
+def test_embeddings_compatible_predicate():
+    from hinbox_ray.functions.matching import embeddings_compatible
+
+    assert embeddings_compatible(64, "m1", 64, "m1")
+    assert embeddings_compatible(64, "", 64, "m1")      # unknown model side
+    assert not embeddings_compatible(64, "m1", 128, "m1")  # dim mismatch
+    assert not embeddings_compatible(64, "m1", 64, "m2")   # model mismatch
