@@ -67,6 +67,24 @@ def _pages_extract_text(sf_dir: str) -> Any:
     )
 
 
+def _kg_pair_verdicts(sf_dir: str) -> Any:
+    """Candidate-pair verification verdicts (MATCH/SKIP/DEFER) — the
+    reference's match-checker + merge-dispute routing as an actor-pool
+    stage; DEFER rows are the review-queue side output."""
+    from hinbox_ray.sources.pages import pages_dataset
+    from hinbox_ray.stages.extract import extract_and_filter
+    from hinbox_ray.stages.mentions import extract_mentions
+    from hinbox_ray.stages.resolve import raw_entities
+    from hinbox_ray.stages.verify import candidate_pairs_with_meta, verify_pairs
+
+    mentions = extract_mentions(
+        extract_and_filter(pages_dataset(sf_dir))
+    ).materialize()
+    raw = raw_entities(mentions).materialize()
+    verdicts = verify_pairs(candidate_pairs_with_meta(raw))
+    return verdicts.sort(["u", "v"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hinbox_ray.pipelines import analytics as A
     from hinbox_ray.pipelines import textops as T
@@ -77,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "pages_extract_text": _pages_extract_text,
+        "kg_pair_verdicts": _kg_pair_verdicts,
         # --- relational surface (SURVEY.md §2.3/2.5/2.6/2.7)
         "lineitem_agg": A.lineitem_agg,
         "orders_priority_count": A.orders_priority_count,
