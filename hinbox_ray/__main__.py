@@ -1,0 +1,76 @@
+"""CLI entry point — the analog of the reference's
+``python -m src.process_and_extract`` (process_and_extract.py:770-870).
+
+    python -m hinbox_ray --pages <dir-or-file> --out <dir> \
+        [--domain-config config.yaml] [--limit N] [--resume]
+
+Reads a pages Parquet corpus (url, warc_ts, html, text, lang), runs the
+KG-construction pipeline, and writes triples/ + entities/ Parquet under
+--out. With --resume, extraction checkpoints per input partition via
+lineage manifests (state/lineage.py) and a re-run skips finished
+partitions. Owns its Ray session (guarded init — the library never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hinbox_ray")
+    ap.add_argument("--pages", required=True, help="pages parquet dir/file")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--domain-config", help="domain config.yaml (optional)")
+    ap.add_argument("--limit", type=int, help="head-of-corpus limit (reference --limit)")
+    ap.add_argument("--resume", action="store_true", help="checkpoint + resume extraction per partition")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+
+    import ray.data as rd
+
+    from .config import DomainConfig
+    from .pipelines.kg import build_kg, write_kg
+
+    cfg = (
+        DomainConfig.from_yaml(args.domain_config)
+        if args.domain_config
+        else DomainConfig()
+    )
+
+    if args.resume:
+        import os
+
+        from .state.lineage import resolve_from_checkpoint, run_extract_with_resume
+
+        run_extract_with_resume(args.pages, args.out, cfg)
+        # writes {out}/triples atomically (tmp+rename)
+        result = resolve_from_checkpoint(args.out, cfg)
+        result.entities.drop_columns(["member_nodes"]).write_parquet(
+            os.path.join(args.out, "entities")
+        )
+        tri_dir = os.path.join(args.out, "triples")
+    else:
+        pages = rd.read_parquet(args.pages)
+        if args.limit:
+            pages = pages.limit(args.limit)
+        result = build_kg(pages, cfg)
+        tri_dir = write_kg(result, args.out)["triples_dir"]
+
+    n = result.triples.count()
+    print(f"wrote {n} triples to {tri_dir}", file=sys.stderr)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
