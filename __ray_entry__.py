@@ -313,10 +313,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
                 SELECT user_id, us,
-                       sum(is_new) OVER (
+                       CAST(sum(is_new) OVER (
                            PARTITION BY user_id ORDER BY us
                            ROWS UNBOUNDED PRECEDING
-                       ) - 1 AS session_idx
+                       ) - 1 AS BIGINT) AS session_idx
                 FROM flagged
             )
             SELECT user_id, session_idx,

@@ -52,6 +52,11 @@ def main(argv=None) -> int:
 
         from .state.lineage import resolve_from_checkpoint, run_extract_with_resume
 
+        if args.limit:
+            # the resume unit is the input shard, not a row count; a
+            # silent full-corpus run would diverge from the reference's
+            # --limit semantics (process_and_extract.py:180-184)
+            ap.error("--limit is incompatible with --resume (resume is per input shard)")
         run_extract_with_resume(args.pages, args.out, cfg)
         # writes {out}/triples atomically (tmp+rename)
         result = resolve_from_checkpoint(args.out, cfg)

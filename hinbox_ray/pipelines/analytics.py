@@ -307,47 +307,44 @@ def nation_region_count(sf_dir: str) -> ray.data.Dataset:
 
 
 def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """Hash join orders ⋈ customer, aggregate, then broadcast nation.
+    """Broadcast map join orders ⋈ customer, aggregate, then nation.
 
-    The big⋈big side uses ``Dataset.join`` (hash shuffle on the key);
-    the 25-row nation table is a driver-broadcast dict applied after the
-    aggregation so it touches |nations| rows, not |orders|. Revenue
-    rounds to whole dollars (summation-order error ≪ 0.5).
+    One plan, one pass over the big side: the (c_custkey → c_nationkey)
+    map is a pair of int32 columns (~1 MB per 150k customers at TPC-H
+    shape — comfortably broadcastable well past the test scale), built
+    once on the driver as a vectorized numpy lookup table and applied
+    per batch with ``np.searchsorted`` — no shuffle touches the orders
+    stream. At a scale where customer itself stops fitting (≳10⁹
+    customers) the plan flips to a hash-partition co-group on custkey
+    (stages/cogroup.py); Dataset.join is deliberately avoided here — it
+    silently misroutes rows when a block's key dtype drifts (see
+    cogroup.py). Revenue rounds to whole dollars (summation-order error
+    ≪ 0.5).
     """
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    customer = read_table(
-        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
-    )
+    import numpy as np
 
-    joined = orders.join(
-        customer,
-        join_type="inner",
-        num_partitions=8,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).materialize()
-    # guard: every order has a customer, so the inner join must preserve
-    # the row count. This Ray build's hash join can silently misroute
-    # rows when a block's key dtype drifts (see stages/cogroup.py) — on
-    # any loss, fall back to a broadcast map join.
-    if joined.count() != orders.count():
-        nat_of = dict(
-            zip(
-                *(
-                    _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])[c].to_pylist()
-                    for c in ("c_custkey", "c_nationkey")
-                )
-            )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ckeys = np.asarray(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    cnats = np.asarray(cust["c_nationkey"].to_numpy(zero_copy_only=False))
+    order_ = np.argsort(ckeys, kind="stable")
+    ckeys, cnats = ckeys[order_], cnats[order_]
+
+    def attach_nat(batch: pa.Table) -> pa.Table:
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ckeys, ok)
+        pos = np.clip(pos, 0, len(ckeys) - 1)
+        hit = ckeys[pos] == ok
+        nat = np.where(hit, cnats[pos], -1).astype(np.int32)
+        keep = nat >= 0
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nat[keep], type=pa.int32()),
+                "o_totalprice": batch["o_totalprice"].filter(pa.array(keep)),
+            }
         )
 
-        def attach_nat(batch: pa.Table) -> pa.Table:
-            keys = pa.array(
-                [nat_of.get(k) for k in batch["o_custkey"].to_pylist()],
-                type=pa.int32(),
-            )
-            return batch.append_column("c_nationkey", keys)
-
-        joined = orders.map_batches(attach_nat, batch_format="pyarrow")
+    joined = orders.map_batches(attach_nat, batch_format="pyarrow")
     agg = joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"),
         Sum("o_totalprice", alias_name="revenue"),

@@ -647,9 +647,9 @@ def knn_ivf(
         probes = {int(b)}
         for mask in range(1 << len(soft)):
             flipped = int(b)
-            for k in range(len(soft)):
-                if mask & (1 << k):
-                    flipped ^= 1 << int(soft[k])
+            for bit in range(len(soft)):
+                if mask & (1 << bit):
+                    flipped ^= 1 << int(soft[bit])
             probes.add(flipped)
         probe_sets.append(probes)
 

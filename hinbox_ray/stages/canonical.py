@@ -211,8 +211,6 @@ def mention_triples(
     shuffle (the salted dedup) instead of two. Past the threshold, the
     salted co-group (stages/cogroup.py) attaches ids with a shuffle.
     """
-    import ray as _ray
-
     from .cogroup import _url_salt
     from .resolve import add_node_id
 
@@ -223,12 +221,16 @@ def mention_triples(
         nmap_df = node_map_ds.to_pandas()
 
     if nmap_df is not None:
-        nmap_ref = _ray.put(
-            dict(zip(nmap_df["node_id"].astype(np.int64), nmap_df["entity_id"]))
+        # closed-over dict, NOT a ray.put ObjectRef: Ray caches the
+        # deserialized map fn per worker process, so the lookup is
+        # unpickled once per worker — a per-batch ray.get of a plasma
+        # dict would re-unpickle the whole map every batch (Ray does not
+        # cache deserialized non-zero-copy objects)
+        lookup = dict(
+            zip(nmap_df["node_id"].astype(np.int64), nmap_df["entity_id"])
         )
 
-        def project_map(df: pd.DataFrame, nmap=nmap_ref) -> pd.DataFrame:
-            lookup = _ray.get(nmap) if isinstance(nmap, _ray.ObjectRef) else nmap
+        def project_map(df: pd.DataFrame) -> pd.DataFrame:
             df = add_node_id(df)
             df = df.drop_duplicates(["node_id", "url"])
             eids = df["node_id"].map(lookup)

@@ -158,8 +158,14 @@ def write_review_queue(verdicts_ds, path: str) -> int:
     import json
 
     deferred = verdicts_ds.filter(lambda r: r["verdict"] == DEFER)
-    rows = deferred.take_all()
+    n = 0
+    # streamed: dispute volume is corpus-correlated under a real checker,
+    # so the queue is drained block-by-block, never fully materialized
     with open(path, "a") as f:
-        for r in rows:
-            f.write(json.dumps({k: r[k] for k in sorted(r)}, default=str) + "\n")
-    return len(rows)
+        for batch in deferred.iter_batches(batch_size=4096, batch_format="pandas"):
+            for r in batch.to_dict("records"):
+                f.write(
+                    json.dumps({k: r[k] for k in sorted(r)}, default=str) + "\n"
+                )
+            n += len(batch)
+    return n

@@ -43,6 +43,12 @@ def test_query_matches_oracle(ray_session, con, name):
     mine = canon(res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res))
     theirs = canon(con.execute(E.oracle_sql()[name]).df())
     assert list(mine.columns) == list(theirs.columns)
+    # dtype KIND must match too: the driver hashes values exactly, so an
+    # int64 engine column vs a HUGEINT→float64 oracle column is a red
+    # row even when the values are equal (round-1 events_sessionize)
+    assert [d.kind for d in mine.dtypes] == [d.kind for d in theirs.dtypes], (
+        f"dtype drift: {list(zip(mine.dtypes, theirs.dtypes))}"
+    )
     pd.testing.assert_frame_equal(
         mine, theirs, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )

@@ -13,6 +13,10 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
 
     bf = knn_bruteforce(SF).to_pandas()
     ivf = knn_ivf(SF).to_pandas()
+    # full k per query (round-1 bug: an inner loop shadowed k → 5 rows)
+    assert ivf.groupby("query_id").size().eq(10).all(), (
+        ivf.groupby("query_id").size().to_dict()
+    )
     recalls = []
     for q in bf["query_id"].unique():
         truth = set(bf[bf.query_id == q]["vec_id"])
