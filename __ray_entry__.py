@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
+        "embedding_neardup_lsh": T.embedding_neardup_lsh,
         # --- windowed / per-group operators
         "events_sessionize": A.events_sessionize,
         "events_asof_last_error": A.events_asof_last_error,

@@ -111,3 +111,54 @@ def test_minhash_dataset_path_matches_driver_path(ray_session):
     a = set(map(tuple, drv[["doc_a", "doc_b", "jac_e6"]].itertuples(index=False)))
     b = set(map(tuple, ds[["doc_a", "doc_b", "jac_e6"]].itertuples(index=False)))
     assert a == b and len(a) > 0
+
+
+def test_embedding_neardup_blocked_matches_small_blocks(ray_session):
+    """The blocked all-pairs plan is exact regardless of block size:
+    forcing many tiny blocks (multi-task grid) must reproduce the
+    single-block output row for row."""
+    from hinbox_ray.pipelines.textops import embedding_neardup
+
+    one = embedding_neardup(SF).to_pandas()
+    many = embedding_neardup(SF, rows_per_block=64).to_pandas()
+    assert one.reset_index(drop=True).equals(many.reset_index(drop=True))
+    assert len(one) > 0
+
+
+def test_embedding_neardup_lsh_recall_on_planted_dups(ray_session, tmp_path):
+    """Planted high-cos near-dups (cos ≥ 0.95): banded sign-LSH with
+    L=16 tables × 8 bits catches every pair (theoretical miss ≈ 1e-4
+    per pair), with zero false positives (exact-cosine verify)."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import embedding_neardup, embedding_neardup_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 32))
+    rows_id, rows_emb = [], []
+    vid = 0
+    for i in range(200):
+        rows_id.append(vid)
+        rows_emb.append(base[i])
+        vid += 1
+        if i % 10 == 0:  # plant a jittered near-dup of every 10th vector
+            dup = base[i] + 0.05 * rng.standard_normal(32)
+            rows_id.append(vid)
+            rows_emb.append(dup)
+            vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rows_id, type=pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in rows_emb]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    exact = embedding_neardup(str(tmp_path), threshold=0.9).to_pandas()
+    lsh = embedding_neardup_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+    assert len(exact_pairs) >= 15  # the plants are there
+    assert lsh_pairs <= exact_pairs  # verify step kills false positives
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall == 1.0, (recall, exact_pairs - lsh_pairs)
