@@ -33,7 +33,8 @@ from ..stages.canonical import (
 from ..stages.cc import connected_components
 from ..stages.extract import extract_and_filter
 from ..stages.mentions import extract_mentions
-from ..stages.resolve import candidate_edges, raw_entities
+from ..stages.resolve import candidate_edges_with_verdicts, raw_entities
+from ..stages.verify import compute_merge_stats
 
 
 @dataclass
@@ -41,6 +42,8 @@ class KGResult:
     triples: "object"   # ray.data.Dataset[(subj, pred, obj)]
     entities: "object"  # canonical entity table
     mentions: "object"  # per-(doc, entity) mention rows
+    verdicts: "object" = None   # per-pair MATCH/SKIP/DEFER rows (A4/A5)
+    merge_stats: "object" = None  # MergeStats counters (G1–G3)
 
 
 def build_kg(
@@ -51,6 +54,8 @@ def build_kg(
     batch_size: int = 128,
     num_partitions: int = 16,
     sort_triples: bool = True,
+    verifier_cls=None,        # swap the merge-decision model (A4/A5)
+    defer_policy: str = "skip",
 ) -> KGResult:
     cfg = cfg or DomainConfig()
 
@@ -91,11 +96,14 @@ def build_kg(
 
         empty = rd.from_arrow(TRIPLES_SCHEMA.empty_table())
         return KGResult(triples=empty, entities=raw, mentions=mentions)
-    edges = candidate_edges(raw, cfg)
+    edges, verdicts = candidate_edges_with_verdicts(
+        raw, cfg, verifier_cls=verifier_cls, defer_policy=defer_policy
+    )
     comps = connected_components(edges)
     entities = canonical_entities(
         raw, comps, num_partitions=num_partitions
     ).materialize()
+    merge_stats = compute_merge_stats(verdicts, entities.count())
 
     nmap = node_map(entities)
     triples = entity_triples(entities).union(
@@ -103,7 +111,13 @@ def build_kg(
     )
     if sort_triples:
         triples = triples.sort(["subj", "pred", "obj"])
-    return KGResult(triples=triples, entities=entities, mentions=mentions)
+    return KGResult(
+        triples=triples,
+        entities=entities,
+        mentions=mentions,
+        verdicts=verdicts,
+        merge_stats=merge_stats,
+    )
 
 
 def build_kg_from_sf(
@@ -131,4 +145,9 @@ def write_kg(result: KGResult, out_dir: str) -> dict:
     ent_dir = os.path.join(out_dir, "entities")
     result.triples.write_parquet(tri_dir)
     result.entities.drop_columns(["member_nodes"]).write_parquet(ent_dir)
+    if result.merge_stats is not None:
+        import json
+
+        with open(os.path.join(out_dir, "merge_stats.json"), "w") as f:
+            json.dump(result.merge_stats.to_dict(), f, sort_keys=True)
     return {"triples_dir": tri_dir, "entities_dir": ent_dir}

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from ..config import DomainConfig
 from ..functions.hashing import hash_str_u64
-from ..functions.matching import blocking_keys, mentions_match
+from ..functions.matching import blocking_keys
 from ..functions.names import equivalence_group_index
 
 _KEY_COLS = ["entity_type", "name", "attr_type", "start_date"]
@@ -275,14 +275,37 @@ def _explode_blocking(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def _score_block(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
-    empty = pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
-    # drop duplicate nodes within the block (an entity can reach the same
-    # block through several variants)
+PAIR_META_COLS = [
+    "u",
+    "v",
+    "entity_type",
+    "name_u",
+    "name_v",
+    "start_date_u",
+    "start_date_v",
+    "aliases_u",
+    "aliases_v",
+]
+
+
+def _pair_meta_empty() -> pd.DataFrame:
+    out = {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+    for c in PAIR_META_COLS[2:]:
+        out[c] = pd.Series(dtype=object)
+    return pd.DataFrame(out)
+
+
+def _block_pair_rows(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
+    """One block → its candidate PAIR rows with the name metadata the
+    verifier consumes. Skew guard unchanged from round 1: a block larger
+    than ``rep_cap`` compares all-pairs only among the top ``rep_cap``
+    members (by mention count, then node id — deterministic) and links
+    tail members against the top ``tail_link`` representatives only,
+    bounding per-block work at O(rep_cap² + n·tail_link). Pair fields
+    are oriented by node id (u < v)."""
     df = df.drop_duplicates("node_id")
-    n = len(df)
-    if n < 2:
-        return empty
+    if len(df) < 2:
+        return _pair_meta_empty()
 
     rep_cap = max(2, cfg.blocking.max_candidates)
     tail_link = 8
@@ -291,50 +314,107 @@ def _score_block(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
     reps = rows[:rep_cap]
     tail = rows[rep_cap:]
 
-    us: List[int] = []
-    vs: List[int] = []
+    out: Dict[str, List] = {c: [] for c in PAIR_META_COLS}
 
-    def consider(a, b):
-        if mentions_match(
-            a.entity_type,
-            a.name,
-            b.name,
-            start_date_a=a.start_date,
-            start_date_b=b.start_date,
-            aliases_a=split_aliases(a.aliases),
-            aliases_b=split_aliases(b.aliases),
-            cfg=cfg,
-        ):
-            u, v = (a.node_id, b.node_id) if a.node_id < b.node_id else (b.node_id, a.node_id)
-            us.append(u)
-            vs.append(v)
+    def emit(a, b):
+        if a.node_id > b.node_id:
+            a, b = b, a
+        out["u"].append(int(a.node_id))
+        out["v"].append(int(b.node_id))
+        out["entity_type"].append(a.entity_type)
+        out["name_u"].append(a.name)
+        out["name_v"].append(b.name)
+        out["start_date_u"].append(a.start_date)
+        out["start_date_v"].append(b.start_date)
+        out["aliases_u"].append(a.aliases)
+        out["aliases_v"].append(b.aliases)
 
     for i in range(len(reps)):
         for j in range(i + 1, len(reps)):
-            consider(reps[i], reps[j])
+            emit(reps[i], reps[j])
     for t in tail:  # skew guard: tail links only to top representatives
         for r in reps[:tail_link]:
-            consider(t, r)
+            emit(t, r)
 
-    if not us:
-        return empty
-    return pd.DataFrame({"u": np.array(us, dtype=np.int64), "v": np.array(vs, dtype=np.int64)})
+    if not out["u"]:
+        return _pair_meta_empty()
+    res = pd.DataFrame(out)
+    res["u"] = res["u"].astype(np.int64)
+    res["v"] = res["v"].astype(np.int64)
+    return res
 
 
 def _dedupe_edges(df: pd.DataFrame) -> pd.DataFrame:
     return df.head(1)
 
 
-def candidate_edges(raw_entities_ds, cfg: Optional[DomainConfig] = None):
-    """raw entities → deduped candidate-match edges (node_id pairs).
-
-    SHUFFLE #1: groupby(block_key); SHUFFLE #2 (small): edge dedup.
-    """
+def candidate_pairs(raw_entities_ds, cfg: Optional[DomainConfig] = None):
+    """raw entities → deduped candidate pair rows WITH metadata (the
+    verifier's input). SHUFFLE #1: groupby(block_key); SHUFFLE #2
+    (small): pair dedup — a pair can surface from several blocks."""
     cfg = cfg or DomainConfig()
     exploded = raw_entities_ds.map_batches(
         lambda df: _explode_blocking(df, cfg), batch_format="pandas"
     )
-    edges = exploded.groupby("block_key").map_groups(
-        lambda g: _score_block(g, cfg), batch_format="pandas"
+    pairs = exploded.groupby("block_key").map_groups(
+        lambda g: _block_pair_rows(g, cfg), batch_format="pandas"
     )
-    return edges.groupby(["u", "v"]).map_groups(_dedupe_edges, batch_format="pandas")
+    return pairs.groupby(["u", "v"]).map_groups(
+        _dedupe_edges, batch_format="pandas"
+    )
+
+
+def candidate_edges(
+    raw_entities_ds,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    verifier_cls=None,
+    defer_policy: str = "skip",
+):
+    """raw entities → VERDICT-GATED candidate-match edges (node pairs).
+
+    Round-2 semantics (reference mergers.py:907-942 + the dispute
+    override pinned by its tests/test_merge_dispute_agent_routing.py):
+    blocking only PROPOSES pairs; the pair verdict DECIDES the merge.
+    ``PairVerifier`` (stages/verify.py) returns MATCH / SKIP / DEFER per
+    pair; MATCH pairs become edges, SKIP pairs never merge, DEFER
+    follows ``defer_policy`` ("skip" → no merge, the rows are the
+    review-queue side output; "merge" → dispute resolved as merge).
+    Swapping ``verifier_cls`` for an LLM-backed checker changes the
+    merge topology with no other code change.
+    """
+    edges, _ = candidate_edges_with_verdicts(
+        raw_entities_ds, cfg, verifier_cls=verifier_cls, defer_policy=defer_policy
+    )
+    return edges
+
+
+def candidate_edges_with_verdicts(
+    raw_entities_ds,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    verifier_cls=None,
+    defer_policy: str = "skip",
+):
+    """(edges, verdicts) — verdicts is the materialized per-pair verdict
+    Dataset (vocabulary-scale), reusable for MergeStats + review queue
+    without re-running blocking/verification."""
+    import pyarrow as _pa
+
+    from .verify import DEFER, MATCH, verify_pairs
+
+    cfg = cfg or DomainConfig()
+    pairs = candidate_pairs(raw_entities_ds, cfg)
+    verdicts = verify_pairs(
+        pairs, cfg, verifier_cls=verifier_cls
+    ).materialize()
+
+    accepted = {MATCH} | ({DEFER} if defer_policy == "merge" else set())
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        mask = _pc.is_in(batch["verdict"], value_set=_pa.array(sorted(accepted)))
+        return batch.filter(mask).select(["u", "v"])
+
+    return verdicts.map_batches(keep, batch_format="pyarrow"), verdicts

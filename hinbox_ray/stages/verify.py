@@ -14,12 +14,15 @@ This engine's deterministic analog:
   the memo LRU are built once per actor in ``__init__`` (exactly where
   the reference's client + LRU live); verdicts are MATCH / SKIP / DEFER.
   A real LLM checker replaces ``_decide`` only.
+- Round 2: the verdict GATES the merge (reference semantics) —
+  ``resolve.candidate_edges`` keeps only MATCH pairs as edges (DEFER per
+  policy), so swapping the verifier class changes resolution topology.
+  The deterministic ``_decide`` declares MATCH exactly when
+  ``mentions_match`` (the oracle's predicate) does, so the default
+  topology is unchanged from round 1 and P/R = 1.0 is preserved.
 - DEFER = the gray band around the per-type cosine threshold where the
   deterministic signals disagree (cosine says maybe, the name heuristics
-  say no, or vice versa). In the deterministic world the resolution
-  edges are decided by ``mentions_match`` alone (the oracle's
-  semantics), so the dispute queue is a side output for review — in an
-  LLM deployment its verdicts would gate the merge, as in the reference.
+  say no, or vice versa) — the reference's dispute-agent input.
 - ``write_review_queue`` appends DEFER rows as JSONL (S9).
 """
 
@@ -59,97 +62,140 @@ class PairVerifier:
         name_b: str,
         start_date_a: str,
         start_date_b: str,
+        aliases_a: str = "",
+        aliases_b: str = "",
     ) -> str:
+        from .resolve import split_aliases
+
         cfg = self.cfg
-        cos = cosine_names(name_a, name_b, cfg.embedding_dim)
-        thr = cfg.threshold(entity_type)
-        heur = mentions_match(
+        # MATCH ⇔ the shared deterministic predicate (incl. alias bridge
+        # and the low-quality guard) — the same decision the driver-side
+        # oracle replays, so gating edges on the verdict preserves P/R
+        if mentions_match(
             entity_type,
             name_a,
             name_b,
             start_date_a=start_date_a,
             start_date_b=start_date_b,
+            aliases_a=split_aliases(aliases_a),
+            aliases_b=split_aliases(aliases_b),
             cfg=cfg,
-        )
-        # low-quality names never auto-merge (mergers.py:834-847)
+        ):
+            return MATCH
+        # low-quality names never reach the dispute agent
+        # (mergers.py:834-847): generic/descriptive names only merge on
+        # the exact path above
         if is_low_quality_name(name_a) or is_low_quality_name(name_b):
             return SKIP
-        if heur:
-            return MATCH
         # gray band: cosine sits within ±0.05 of the threshold but the
-        # name heuristics would not merge → a human/LLM tie-breaker row
-        if abs(cos - thr) <= _GRAY_BAND:
+        # name heuristics would not merge → the dispute-agent row
+        cos = cosine_names(name_a, name_b, cfg.embedding_dim)
+        if abs(cos - cfg.threshold(entity_type)) <= _GRAY_BAND:
             return DEFER
         return SKIP
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        has_alias = "aliases_u" in batch.schema.names
+        alias_u = (
+            batch["aliases_u"].to_pylist() if has_alias else [""] * batch.num_rows
+        )
+        alias_v = (
+            batch["aliases_v"].to_pylist() if has_alias else [""] * batch.num_rows
+        )
         verdicts = []
-        for et, na, nb, sa, sb in zip(
+        for et, na, nb, sa, sb, aa, ab in zip(
             batch["entity_type"].to_pylist(),
             batch["name_u"].to_pylist(),
             batch["name_v"].to_pylist(),
             batch["start_date_u"].to_pylist(),
             batch["start_date_v"].to_pylist(),
+            alias_u,
+            alias_v,
         ):
-            verdicts.append(self._decide(et, na, nb, sa, sb))
+            verdicts.append(self._decide(et, na, nb, sa, sb, aa or "", ab or ""))
         return batch.append_column(
             "verdict", pa.array(verdicts, type=pa.string())
         )
 
 
 def candidate_pairs_with_meta(raw_entities_ds, cfg: Optional[DomainConfig] = None):
-    """Blocking explode → per-block pair rows WITH name metadata (the
-    input shape the verifier consumes). Same blocking as
-    resolve.candidate_edges, but emitting every considered pair rather
-    than only accepted edges."""
-    from .resolve import _explode_blocking
+    """Blocking explode → deduped per-block pair rows WITH name + alias
+    metadata (the verifier's input shape). Round 2: shares the exact
+    pair generation (rep/tail skew guard) with the edge path —
+    ``resolve.candidate_pairs``."""
+    from .resolve import candidate_pairs
 
-    cfg = cfg or DomainConfig()
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("node_id").sort_values("node_id")
-        rows = list(g.itertuples(index=False))
-        cap = max(2, cfg.blocking.max_candidates)
-        rows = rows[:cap]
-        out = {
-            "u": [], "v": [], "entity_type": [],
-            "name_u": [], "name_v": [],
-            "start_date_u": [], "start_date_v": [],
-        }
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a, b = rows[i], rows[j]
-                out["u"].append(int(a.node_id))
-                out["v"].append(int(b.node_id))
-                out["entity_type"].append(a.entity_type)
-                out["name_u"].append(a.name)
-                out["name_v"].append(b.name)
-                out["start_date_u"].append(a.start_date)
-                out["start_date_v"].append(b.start_date)
-        df = pd.DataFrame(out)
-        df["u"] = df["u"].astype(np.int64) if len(df) else pd.Series(dtype=np.int64)
-        df["v"] = df["v"].astype(np.int64) if len(df) else pd.Series(dtype=np.int64)
-        return df
-
-    exploded = raw_entities_ds.map_batches(
-        lambda df: _explode_blocking(df, cfg), batch_format="pandas"
-    )
-    cand = exploded.groupby("block_key").map_groups(pairs, batch_format="pandas")
-    # a pair can surface from several blocks
-    return cand.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return candidate_pairs(raw_entities_ds, cfg)
 
 
-def verify_pairs(pairs_ds, cfg: Optional[DomainConfig] = None, *, concurrency=2):
-    """Run the verifier actor pool over candidate pairs."""
+def verify_pairs(
+    pairs_ds,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency=2,
+    verifier_cls=None,
+):
+    """Run the verifier actor pool over candidate pairs.
+
+    ``verifier_cls`` swaps the decision model (an LLM-backed checker in
+    a real deployment; a forced-verdict stub in tests)."""
     return pairs_ds.map_batches(
-        PairVerifier,
+        verifier_cls or PairVerifier,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MergeStats:
+    """Aggregate counts from one resolution run (reference G1–G3:
+    src/engine/mergers.py:43-55 MergeStats + the per-run pipeline
+    counters at src/process_and_extract.py:343-362)."""
+
+    new: int = 0        # canonical entities created
+    merged: int = 0     # MATCH verdicts (pairs merged)
+    skipped: int = 0    # SKIP verdicts
+    disputed: int = 0   # DEFER verdicts (routed to the dispute queue)
+    errors: int = 0
+
+    @property
+    def total(self) -> int:
+        return self.new + self.merged + self.skipped + self.disputed + self.errors
+
+    def to_dict(self) -> dict:
+        return {
+            "new": self.new,
+            "merged": self.merged,
+            "skipped": self.skipped,
+            "disputed": self.disputed,
+            "errors": self.errors,
+            "total": self.total,
+        }
+
+
+def compute_merge_stats(verdicts_ds, n_entities: int) -> MergeStats:
+    """Fold the (vocabulary-scale) verdict Dataset into MergeStats."""
+    from ray.data.aggregate import Count
+
+    counts = {MATCH: 0, SKIP: 0, DEFER: 0}
+    if verdicts_ds is not None:
+        for row in (
+            verdicts_ds.groupby("verdict")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        ):
+            counts[row["verdict"]] = int(row["n"])
+    return MergeStats(
+        new=int(n_entities),
+        merged=counts[MATCH],
+        skipped=counts[SKIP],
+        disputed=counts[DEFER],
     )
 
 

@@ -191,7 +191,8 @@ def resolve_from_checkpoint(
         node_map,
     )
     from ..stages.cc import connected_components
-    from ..stages.resolve import candidate_edges, raw_entities
+    from ..stages.resolve import candidate_edges_with_verdicts, raw_entities
+    from ..stages.verify import compute_merge_stats
 
     cfg = cfg or DomainConfig()
     mention_files = sorted(
@@ -204,9 +205,13 @@ def resolve_from_checkpoint(
     mentions = rd.read_parquet(mention_files)
 
     raw = raw_entities(mentions).materialize()
-    edges = candidate_edges(raw, cfg)
+    edges, verdicts = candidate_edges_with_verdicts(raw, cfg)
     comps = connected_components(edges)
     entities = canonical_entities(raw, comps, num_partitions=num_partitions).materialize()
+    merge_stats = compute_merge_stats(verdicts, entities.count())
+    _atomic_write_json(
+        os.path.join(out_dir, "merge_stats.json"), merge_stats.to_dict()
+    )
     nmap = node_map(entities)
     triples = entity_triples(entities).union(
         mention_triples(mentions, nmap, num_partitions=num_partitions)
@@ -224,4 +229,10 @@ def resolve_from_checkpoint(
         os.replace(tmp, final)
         triples = rd.read_parquet(final)
 
-    return KGResult(triples=triples, entities=entities, mentions=mentions)
+    return KGResult(
+        triples=triples,
+        entities=entities,
+        mentions=mentions,
+        verdicts=verdicts,
+        merge_stats=merge_stats,
+    )
