@@ -56,10 +56,21 @@ def build_kg(
     sort_triples: bool = True,
     verifier_cls=None,        # swap the merge-decision model (A4/A5)
     defer_policy: str = "skip",
+    relevance_scorer=None,    # F3: plug a domain-relevance scorer
+    use_relevance_gate: bool = False,
 ) -> KGResult:
     cfg = cfg or DomainConfig()
 
     docs = extract_and_filter(pages_ds)
+    if use_relevance_gate or relevance_scorer is not None:
+        # F3 gate ahead of extraction. Off by default in the flagship:
+        # the deterministic scorer uses the extractor's own lexicon, so
+        # it cannot change the graph — it only pays for a second actor
+        # pool. Turn it on to prune extractor work on sparse corpora or
+        # to plug an LLM scorer (which CAN change the graph).
+        from ..stages.relevance import relevance_gate
+
+        docs = relevance_gate(docs, cfg, scorer_fn=relevance_scorer)
     # Materialize at the mention boundary: `mentions` feeds BOTH the
     # raw-entity aggregation and the mentioned_in triple join; without a
     # checkpoint each consumer would re-execute the whole extraction

@@ -60,11 +60,47 @@ MENTIONS_SCHEMA = pa.schema(
 )
 
 
-class MentionExtractor:
-    """Actor-pool stage: text → typed entity mentions + per-doc QC."""
+# QC flags that trigger a single extraction retry
+# (reference: src/engine/article_processor.py:20-27)
+RETRY_TRIGGER_FLAGS = {
+    "zero_entities",
+    "high_drop_rate",
+    "many_duplicates",
+    "many_low_quality_names",
+}
 
-    def __init__(self, cfg: Optional[DomainConfig] = None):
+
+def build_repair_hint(entity_type: str, flags) -> str:
+    """Prompt suffix describing what went wrong on the first attempt
+    (reference: article_processor.py:33-49). The deterministic extractor
+    ignores it; an LLM extractor appends it to its system prompt."""
+    active = sorted(set(flags) & RETRY_TRIGGER_FLAGS)
+    hint = (
+        f"IMPORTANT — Previous extraction of {entity_type} had quality issues "
+        f"({', '.join(active)}). Ensure all required fields are populated, "
+        f"avoid duplicate entries, and return every relevant entity."
+    )
+    if "many_low_quality_names" in active:
+        hint += " Use proper nouns for entity names."
+    return hint
+
+
+class MentionExtractor:
+    """Actor-pool stage: text → typed entity mentions + per-doc QC.
+
+    ``qc_retry=True`` adds the reference's QC-triggered single-retry
+    ladder (article_processor.py:153-251): after attempt 1, per-doc QC
+    flags are computed; a severe flag triggers ONE retry via
+    ``_run_extraction(text, repair_hint=...)`` and the better result is
+    kept (higher output count, then fewer severe flags). The
+    deterministic extractor's attempt 2 equals attempt 1, so the ladder
+    is a no-op on the happy path — it exists as the seam a stochastic
+    (LLM) extractor subclass overrides ``_run_extraction`` on.
+    """
+
+    def __init__(self, cfg: Optional[DomainConfig] = None, qc_retry: bool = True):
         self.cfg = cfg or DomainConfig()
+        self.qc_retry = qc_retry
         # lexicon: longest-first alternation so full forms win over
         # contained shorter surfaces at the same position.
         self._by_surface: Dict[str, Tuple[str, Dict[str, Any]]] = {}
@@ -83,6 +119,47 @@ class MentionExtractor:
         }
 
     # ── per-document extraction ──
+
+    def _run_extraction(
+        self, text: str, repair_hint: Optional[str] = None
+    ) -> List[Dict[str, Any]]:
+        """ONE extraction attempt — the model seam. An LLM/NER extractor
+        subclass overrides only this (the hint goes into its prompt); the
+        deterministic lexicon scan ignores the hint."""
+        return self._extract_doc(text)
+
+    def _extract_doc_with_qc(self, text: str) -> List[Dict[str, Any]]:
+        """Attempt → QC flags → conditional single retry → pick-better
+        (reference article_processor.extract_single_entity_type)."""
+        from ..functions.qc import qc_flags
+
+        ents = self._run_extraction(text)
+        raw = getattr(self, "_last_raw_count", len(ents))
+        flags = qc_flags(
+            input_count=raw,
+            dropped=0,
+            deduped=max(0, raw - len(ents)),
+            names=[e["name"] for e in ents],
+        )
+        if self.qc_retry and (set(flags) & RETRY_TRIGGER_FLAGS):
+            hint = build_repair_hint("entities", flags)
+            ents2 = self._run_extraction(text, repair_hint=hint)
+            raw2 = getattr(self, "_last_raw_count", len(ents2))
+            flags2 = qc_flags(
+                input_count=raw2,
+                dropped=0,
+                deduped=max(0, raw2 - len(ents2)),
+                names=[e["name"] for e in ents2],
+            )
+            severe1 = len(set(flags) & RETRY_TRIGGER_FLAGS)
+            severe2 = len(set(flags2) & RETRY_TRIGGER_FLAGS)
+            # pick the better result: higher output count wins; on tie,
+            # fewer severe flags (article_processor.py:206-221)
+            if len(ents2) > len(ents) or (
+                len(ents2) == len(ents) and severe2 < severe1
+            ):
+                return ents2
+        return ents
 
     def _extract_doc(self, text: str) -> List[Dict[str, Any]]:
         found: Dict[Tuple, Dict[str, Any]] = {}
@@ -110,6 +187,7 @@ class MentionExtractor:
                     "aliases": [],
                     "n_mentions": 1,
                 }
+        self._last_raw_count = len(found)  # pre-collapse, for QC flags
         return self._collapse_variants(list(found.values()))
 
     def _collapse_variants(self, ents: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
@@ -169,7 +247,7 @@ class MentionExtractor:
         # batch's candidate for globally-first — only it gets evidence.
         seen_keys: set = set()
         for url, ts, text in zip(urls, tss, texts):
-            for ord_, ent in enumerate(self._extract_doc(text or "")):
+            for ord_, ent in enumerate(self._extract_doc_with_qc(text or "")):
                 rows["doc_ord"].append(ord_)
                 rows["url"].append(url)
                 rows["warc_ts"].append(ts)

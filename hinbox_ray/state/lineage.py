@@ -105,6 +105,14 @@ def extract_partition(
     docs = docs.materialize()  # one shard: bounded; reused for stats + mentions
     stats = docs.map_batches(stat_batch, batch_format="pandas").to_pandas()
 
+    # F3 relevance gate ahead of extraction (reference
+    # article_processor.check_relevance) — counted in the manifest
+    from ..stages.relevance import relevance_gate
+
+    n_total = docs.count()
+    docs = relevance_gate(docs, cfg, concurrency=2).materialize()
+    n_irrelevant = n_total - docs.count()
+
     mentions = extract_mentions(
         docs, cfg, concurrency=concurrency, batch_size=batch_size
     )
@@ -124,6 +132,7 @@ def extract_partition(
         "partition": stem,
         "source_file": pages_file,
         "n_docs": int(stats["n_docs"].sum()) if len(stats) else 0,
+        "n_irrelevant": int(n_irrelevant),
         "n_mentions": int(n_mentions),
         "url_min": str(stats["url_min"].min()) if len(stats) else "",
         "url_max": str(stats["url_max"].max()) if len(stats) else "",
