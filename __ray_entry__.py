@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "pages_extract_text": _pages_extract_text,
         "kg_pair_verdicts": _kg_pair_verdicts,
+        "kg_profiles": _kg_profiles,
+        "kg_grounding": _kg_grounding,
         # --- relational surface (SURVEY.md §2.3/2.5/2.6/2.7)
         "lineitem_agg": A.lineitem_agg,
         "orders_priority_count": A.orders_priority_count,
@@ -134,6 +136,24 @@ def _multimodal_features(sf_dir: str) -> Any:
     from hinbox_ray.stages.multimodal import multimodal_features
 
     return multimodal_features(sf_dir)
+
+
+def _kg_profiles(sf_dir: str) -> Any:
+    """Versioned entity profiles (reference A6: VersionedProfile history,
+    immutable snapshots, trigger article recorded). Rows-only — pinned
+    by tests/test_profiles_grounding.py version-invariant tests."""
+    from hinbox_ray.stages.profiles import profiles_from_sf
+
+    return profiles_from_sf(sf_dir).drop_columns(["versions_json"])
+
+
+def _kg_grounding(sf_dir: str) -> Any:
+    """Per-entity grounding reports (reference A7: citation extraction →
+    per-(entity, article) claim verification → GroundingReport fold).
+    Rows-only — summary arithmetic pinned by tests."""
+    from hinbox_ray.stages.grounding import grounding_from_sf
+
+    return grounding_from_sf(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
