@@ -1,0 +1,298 @@
+"""Content-addressed extraction memo (reference S7).
+
+The reference memoizes extraction results per
+(cache-version, entity-type, model, temperature, content-hash,
+prompt-hash, schema-hash) in an atomic JSON sidecar store
+(/root/reference/src/utils/extraction_cache.py:58-177, key at :88-111),
+so a re-run — even after a config-version bump that changes OTHER
+inputs — re-extracts only documents whose key inputs changed. Lineage
+manifests (state/lineage.py) resume per *partition*; this memo resumes
+per *document*: a modified shard re-extracts only its modified docs.
+
+Ray-native layout (``memo_dir/``):
+
+- ``index/*.parquet``  — (memo_key, url, n_mentions): one row per
+  processed doc, INCLUDING zero-mention docs (so they hit next time);
+- ``data/*.parquet``   — memo_key + the mention schema: the memoized
+  extractor output, replayed for hits.
+
+Both the hit/miss split and the replay are sort-shuffle co-groups on
+``memo_key`` (see stages/cogroup.py for why not ``Dataset.join``) —
+no driver-side key set, so the memo can be corpus-scale. Writes are
+tmp + ``os.replace`` (atomic), mirroring the reference's sidecar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DomainConfig
+
+MEMO_CACHE_VERSION = 1
+
+
+def model_id(cfg: Optional[DomainConfig] = None) -> str:
+    """Identity of the extraction model+domain — a different extractor
+    or domain config must miss the memo (reference key semantics)."""
+    cfg = cfg or DomainConfig()
+    return f"gazetteer-lexicon|{cfg.domain}"
+
+
+def memo_key(text: str, cfg: Optional[DomainConfig] = None, *,
+             version: int = MEMO_CACHE_VERSION) -> str:
+    """sha256 over every output-affecting input
+    (extraction_cache.make_key:88-111 collapsed to the deterministic
+    extractor's inputs: cache version, model id, content hash)."""
+    content = hashlib.sha256(text.encode("utf-8")).hexdigest()
+    parts = f"extraction|v{version}|{model_id(cfg)}|content={content}"
+    return hashlib.sha256(parts.encode("utf-8")).hexdigest()
+
+
+def _add_memo_key(cfg: Optional[DomainConfig], version: int):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["memo_key"] = [memo_key(t or "", cfg, version=version) for t in df["text"]]
+        return df
+
+    return add
+
+
+def _list_parquet(d: str):
+    if not os.path.isdir(d):
+        return []
+    return [
+        os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+
+
+def _atomic_write_dir(ds, final_dir: str) -> None:
+    """write_parquet into a tmp dir, then atomically move each file into
+    the (append-only) final dir. File names get a content-derived prefix
+    so concurrent writers never collide destructively."""
+    os.makedirs(final_dir, exist_ok=True)
+    tmp = final_dir + f".tmp-{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    if not os.path.isdir(tmp):  # empty dataset writes nothing
+        return
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(tmp, f)
+        with open(src, "rb") as fh:
+            tag = hashlib.sha256(fh.read(65536)).hexdigest()[:12]
+        os.replace(src, os.path.join(final_dir, f"part-{tag}-{f}"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def extract_with_memo(
+    docs_ds,
+    memo_dir: str,
+    cfg: Optional[DomainConfig] = None,
+    *,
+    concurrency: Optional[int] = None,
+    batch_size: int = 256,
+    version: int = MEMO_CACHE_VERSION,
+) -> Tuple["object", Dict[str, int]]:
+    """docs → mentions, extracting ONLY memo misses.
+
+    Returns (mentions Dataset, stats {"hits": H, "misses": M}). Misses
+    are extracted with the standard actor pool, their results appended
+    to the memo (index + data); hits are replayed from the memo data
+    files without touching the extractor.
+    """
+    import ray.data as rd
+
+    from ..stages.mentions import MENTIONS_SCHEMA, MentionExtractor
+
+    cfg = cfg or DomainConfig()
+    keyed = docs_ds.map_batches(
+        _add_memo_key(cfg, version), batch_format="pandas"
+    )
+
+    idx_files = _list_parquet(os.path.join(memo_dir, "index"))
+
+    if not idx_files:
+        misses = keyed
+        hit_keys = None
+    else:
+        index = rd.read_parquet(idx_files, columns=["memo_key"])
+
+        def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["memo_key", "url", "warc_ts", "text"]].copy()
+            out["_src"] = np.int8(0)
+            return out
+
+        def tag_idx(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "memo_key": df["memo_key"].astype(str),
+                    "url": "",
+                    "warc_ts": pd.NaT,
+                    "text": "",
+                    "_src": np.int8(1),
+                }
+            )
+
+        def split(g: pd.DataFrame) -> pd.DataFrame:
+            docs = g[g["_src"] == 0]
+            if docs.empty:  # memo entry for a doc not in this run
+                return pd.DataFrame(
+                    {
+                        "memo_key": pd.Series(dtype=object),
+                        "url": pd.Series(dtype=object),
+                        "warc_ts": pd.Series(dtype="datetime64[us]"),
+                        "text": pd.Series(dtype=object),
+                        "_hit": pd.Series(dtype=np.int8),
+                    }
+                )
+            hit = np.int8(1 if (g["_src"] == 1).any() else 0)
+            out = docs.drop(columns=["_src"]).copy()
+            if hit:  # thin the hit rows — replay needs only the key
+                out = out.iloc[:1]
+                out["url"] = ""
+                out["text"] = ""
+            out["_hit"] = hit
+            return out
+
+        cg = (
+            keyed.map_batches(tag_doc, batch_format="pandas")
+            .union(index.map_batches(tag_idx, batch_format="pandas"))
+            .groupby("memo_key")
+            .map_groups(split, batch_format="pandas")
+            .materialize()
+        )
+        misses = cg.map_batches(
+            lambda df: df[df["_hit"] == 0].drop(columns=["_hit"]),
+            batch_format="pandas",
+        )
+        hit_keys = cg.map_batches(
+            lambda df: df[df["_hit"] == 1][["memo_key"]], batch_format="pandas"
+        )
+
+    n_miss = misses.count()
+    n_hit = hit_keys.count() if hit_keys is not None else 0
+
+    fresh = None
+    if n_miss:
+        misses = misses.materialize()
+
+        class _MemoExtractor(MentionExtractor):
+            """Extractor emitting memo_key per mention row: the key and
+            the text are co-located in the input batch, so no
+            driver-side url→key map is ever built."""
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                key_of = dict(
+                    zip(
+                        batch.column("url").to_pylist(),
+                        batch.column("memo_key").to_pylist(),
+                    )
+                )
+                base = super().__call__(batch)
+                mk = [key_of[u] for u in base.column("url").to_pylist()]
+                return base.append_column(
+                    "memo_key", pa.array(mk, type=pa.string())
+                )
+
+        if concurrency is None:
+            import ray as _ray
+
+            n_cpu = (
+                int(_ray.cluster_resources().get("CPU", 4))
+                if _ray.is_initialized()
+                else 4
+            )
+            concurrency = max(2, (n_cpu * 3) // 4)
+        data_rows = misses.map_batches(
+            _MemoExtractor,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).materialize()
+        mentions_fresh = data_rows.drop_columns(["memo_key"])
+        _atomic_write_dir(data_rows, os.path.join(memo_dir, "data"))
+
+        # index rows: EVERY miss doc, including zero-mention ones
+        per_doc = (
+            mentions_fresh.groupby("url")
+            .count()
+            .to_pandas()
+            .set_index("url")["count()"]
+            if mentions_fresh.count()
+            else pd.Series(dtype=np.int64)
+        )
+
+        def idx_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "memo_key": df["memo_key"].astype(str),
+                    "url": df["url"].astype(str),
+                    "n_mentions": df["url"]
+                    .map(per_doc)
+                    .fillna(0)
+                    .astype(np.int64),
+                }
+            )
+
+        _atomic_write_dir(
+            misses.map_batches(idx_rows, batch_format="pandas"),
+            os.path.join(memo_dir, "index"),
+        )
+        fresh = mentions_fresh
+
+    replayed = None
+    data_files = _list_parquet(os.path.join(memo_dir, "data"))
+    if n_hit and data_files:
+        data = rd.read_parquet(data_files)
+        mcols = list(MENTIONS_SCHEMA.names)
+
+        def tag_data(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["memo_key", *mcols]].copy()
+            out["_src"] = np.int8(0)
+            return out
+
+        def tag_hit(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"memo_key": df["memo_key"].astype(str)})
+            for c in mcols:
+                out[c] = "" if c not in ("warc_ts",) else pd.NaT
+            out["n_mentions"] = np.int32(0)
+            out["doc_ord"] = np.int32(0)
+            out["aliases"] = [[] for _ in range(len(df))]
+            out = out[["memo_key", *mcols]]
+            out["_src"] = np.int8(1)
+            return out
+
+        def semi(g: pd.DataFrame) -> pd.DataFrame:
+            rows = g[g["_src"] == 0]
+            if rows.empty or not (g["_src"] == 1).any():
+                rows = rows.iloc[0:0]
+            return rows.drop(columns=["_src", "memo_key"])
+
+        replayed = (
+            data.map_batches(tag_data, batch_format="pandas")
+            .union(hit_keys.map_batches(tag_hit, batch_format="pandas"))
+            .groupby("memo_key")
+            .map_groups(semi, batch_format="pandas")
+        )
+
+    stats = {"hits": int(n_hit), "misses": int(n_miss)}
+    if fresh is not None and replayed is not None:
+        return fresh.union(replayed), stats
+    if fresh is not None:
+        return fresh, stats
+    if replayed is not None:
+        return replayed, stats
+    import ray.data as rd2
+
+    return rd2.from_arrow(MENTIONS_SCHEMA.empty_table()), stats
