@@ -120,7 +120,9 @@ def build_kg(
     triples = entity_triples(entities).union(
         mention_triples(mentions, nmap, num_partitions=num_partitions)
     )
-    if sort_triples:
+    if sort_triples == "sharded":
+        triples = sharded_sorted_triples(triples)
+    elif sort_triples:
         triples = triples.sort(["subj", "pred", "obj"])
     return KGResult(
         triples=triples,
@@ -128,6 +130,41 @@ def build_kg(
         mentions=mentions,
         verdicts=verdicts,
         merge_stats=merge_stats,
+    )
+
+
+def sharded_sorted_triples(triples_ds, num_shards: int = 64):
+    """Hash-bucketed, per-shard-sorted triples — the scale path for the
+    final sort (round-1 VERDICT #8: at 10M pages the global sample-sort
+    barrier pressures the object store and scaling efficiency drops
+    0.80 → 0.65).
+
+    Plan: shard = hash(subj) % num_shards (int64), one groupby shuffle
+    on the INT key (cheap comparisons, no string sample-sort), then each
+    reduce task sorts ONLY its shard by (subj, pred, obj). All triples
+    of one subject co-locate in one shard, so shards are independently
+    consumable range files — exactly the "range-partitioned sorted
+    shards" layout write_kg emits one file per block. Output keeps the
+    ``shard`` column so a consumer can prune.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def add_shard(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["shard"] = (
+            pd.util.hash_pandas_object(df["subj"], index=False).to_numpy()
+            % num_shards
+        ).astype(np.int64)
+        return df
+
+    def sort_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.sort_values(["subj", "pred", "obj"], kind="mergesort")
+
+    return (
+        triples_ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(sort_shard, batch_format="pandas")
     )
 
 

@@ -150,6 +150,38 @@ def extract_partition(
     return record
 
 
+def _shim_fsspec_http() -> None:
+    """aiohttp is absent in this container, so
+    ``fsspec.implementations.http`` can never import. Ray's parquet path
+    resolution try-imports it on every read; under concurrent shard
+    threads the racing (always-failing) imports can expose a partially
+    initialized module — ``ImportError: cannot import name
+    'HTTPFileSystem'`` — which Ray only catches as ModuleNotFoundError.
+    Register a stub module ONCE on the calling thread so every later
+    import is a sys.modules cache hit. The stub class is never
+    instantiated; it only needs to lose isinstance checks."""
+    import sys
+    import types
+
+    try:
+        import aiohttp  # noqa: F401
+
+        return  # real module importable — no shim needed
+    except ModuleNotFoundError:
+        pass
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # sentinel — nothing is ever an instance
+        protocol = ("http", "https")
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+
+
 def run_extract_with_resume(
     pages_dir: str,
     out_dir: str,
@@ -157,12 +189,23 @@ def run_extract_with_resume(
     *,
     concurrency: int = 4,
     batch_size: int = 256,
+    max_parallel_shards: int = 4,
 ) -> Dict[str, Dict]:
     """Extract every shard in ``pages_dir`` that has no manifest yet.
 
-    Returns all manifests (pre-existing + newly written). Each shard is
-    processed with full-cluster parallelism; shards are the resume unit.
+    Returns all manifests (pre-existing + newly written). Shards are the
+    resume unit; ``max_parallel_shards`` of them run CONCURRENTLY
+    (round-1 VERDICT #10: a serial shard loop pays a fixed actor-pool
+    spin-up + materialize latency per shard, which dominates at
+    thousands of shards). Each shard's pipeline is an independent Ray
+    Data job driven from its own thread — Ray's streaming executors
+    share the cluster, so per-shard ``concurrency`` stays modest and the
+    overlap hides the per-shard constant cost. Manifest writes are
+    atomic per shard, so concurrent completion is crash-safe.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    _shim_fsspec_http()
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(
         os.path.join(pages_dir, f)
@@ -170,13 +213,23 @@ def run_extract_with_resume(
         if f.endswith(".parquet")
     )
     done = load_manifests(out_dir)
-    for f in files:
-        stem = os.path.splitext(os.path.basename(f))[0]
-        if stem in done:
-            continue
-        done[stem] = extract_partition(
+    todo = [
+        f
+        for f in files
+        if os.path.splitext(os.path.basename(f))[0] not in done
+    ]
+    if not todo:
+        return done
+
+    def work(f: str) -> Dict:
+        return extract_partition(
             f, out_dir, cfg, concurrency=concurrency, batch_size=batch_size
         )
+
+    n_workers = max(1, min(max_parallel_shards, len(todo)))
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        for rec in pool.map(work, todo):
+            done[rec["partition"]] = rec
     return done
 
 

@@ -107,3 +107,79 @@ def test_rerun_is_noop_when_complete(ray_session, corpus, tmp_path):
             os.path.getmtime(os.path.join(out, "_lineage", f"{stem}.json"))
             == mtimes[stem]
         )
+
+
+def test_parallel_shard_resume_overlaps_and_matches(ray_session, tmp_path):
+    """≥8 shards processed concurrently: execution intervals overlap,
+    manifests/outputs identical to the serial loop."""
+    import time
+
+    from hinbox_ray.sources.pages import write_pages_parquet
+    from hinbox_ray.state import lineage
+
+    pages = tmp_path / "pages8"
+    write_pages_parquet(str(pages), n=160, num_shards=8)
+
+    spans = []
+    orig = lineage.extract_partition
+
+    def timed(*a, **k):
+        t0 = time.monotonic()
+        rec = orig(*a, **k)
+        spans.append((t0, time.monotonic()))
+        return rec
+
+    lineage.extract_partition = timed
+    try:
+        par = lineage.run_extract_with_resume(
+            str(pages), str(tmp_path / "out_par"), concurrency=2,
+            max_parallel_shards=4,
+        )
+    finally:
+        lineage.extract_partition = orig
+
+    assert len(par) == 8
+    # overlap: some shard started before another finished
+    spans.sort()
+    overlapped = any(spans[i + 1][0] < spans[i][1] for i in range(len(spans) - 1))
+    assert overlapped, spans
+
+    ser = lineage.run_extract_with_resume(
+        str(pages), str(tmp_path / "out_ser"), concurrency=2,
+        max_parallel_shards=1,
+    )
+    assert set(par) == set(ser)
+    for k in par:
+        for field in ("n_docs", "n_mentions", "text_checksum", "n_irrelevant"):
+            assert par[k][field] == ser[k][field], (k, field)
+
+
+def test_sharded_sorted_triples_matches_global_sort(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from hinbox_ray.pipelines.kg import build_kg, sharded_sorted_triples
+    from hinbox_ray.sources.pages import generate_pages_table
+
+    res = build_kg(
+        rd.from_arrow(generate_pages_table(150)), concurrency=2,
+        sort_triples=False,
+    )
+    sharded = sharded_sorted_triples(res.triples, num_shards=8).to_pandas()
+    global_sorted = (
+        res.triples.to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    # same multiset of triples
+    a = sharded[["subj", "pred", "obj"]].sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    assert a.equals(global_sorted)
+    # each shard internally sorted; a subject never spans two shards
+    for _, g in sharded.groupby("shard"):
+        assert g[["subj", "pred", "obj"]].reset_index(drop=True).equals(
+            g.sort_values(["subj", "pred", "obj"])[["subj", "pred", "obj"]]
+            .reset_index(drop=True)
+        )
+    assert (sharded.groupby("subj")["shard"].nunique() == 1).all()
