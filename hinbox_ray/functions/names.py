@@ -166,8 +166,17 @@ def names_likely_same(
     return in_same_group()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def is_low_quality_name(name: str) -> bool:
-    """Generic plural head nouns and descriptive location phrases."""
+    """Generic plural head nouns and descriptive location phrases.
+
+    Memoized: callers run it once per extracted entity instance
+    (corpus-scale) but distinct names are vocabulary-scale and
+    Zipf-distributed, so the cache hit rate is ~100%.
+    """
     if not name or not name.strip():
         return False
     cleaned = name.strip()

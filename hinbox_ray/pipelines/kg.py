@@ -141,14 +141,22 @@ def sharded_sorted_triples(triples_ds, num_shards: int = 64):
 
     Plan: shard = hash(subj) % num_shards (int64), one groupby shuffle
     on the INT key (cheap comparisons, no string sample-sort), then each
-    reduce task sorts ONLY its shard by (subj, pred, obj). All triples
-    of one subject co-locate in one shard, so shards are independently
-    consumable range files — exactly the "range-partitioned sorted
-    shards" layout write_kg emits one file per block. Output keeps the
-    ``shard`` column so a consumer can prune.
+    reduce task sorts ONLY its shard by (subj, pred, obj) with the
+    Arrow sort kernel. All triples of one subject co-locate in one
+    shard, so shards are independently consumable range files — exactly
+    the "range-partitioned sorted shards" layout write_kg emits one
+    file per block. Output keeps the ``shard`` column so a consumer can
+    prune.
+
+    Measured note (10M pages, 32 cpus, single node): Ray's global Arrow
+    sample-sort finishes the same 25M triples in ~25 s — on ONE node it
+    beats this path, so the flagship default stays ``sort_triples=True``
+    and this layout is for multi-node runs where per-shard writes avoid
+    a cluster-wide barrier, and for resumable partitioned output.
     """
     import numpy as np
     import pandas as pd
+    import pyarrow as _pa
 
     def add_shard(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.copy()
@@ -158,13 +166,15 @@ def sharded_sorted_triples(triples_ds, num_shards: int = 64):
         ).astype(np.int64)
         return df
 
-    def sort_shard(g: "pd.DataFrame") -> "pd.DataFrame":
-        return g.sort_values(["subj", "pred", "obj"], kind="mergesort")
+    def sort_shard(g: "_pa.Table") -> "_pa.Table":
+        return g.sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
 
     return (
         triples_ds.map_batches(add_shard, batch_format="pandas")
         .groupby("shard")
-        .map_groups(sort_shard, batch_format="pandas")
+        .map_groups(sort_shard, batch_format="pyarrow")
     )
 
 

