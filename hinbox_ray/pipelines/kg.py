@@ -58,6 +58,8 @@ def build_kg(
     defer_policy: str = "skip",
     relevance_scorer=None,    # F3: plug a domain-relevance scorer
     use_relevance_gate: bool = False,
+    extractor_cls=None,       # A1: swap the extraction model class
+    extractor_kwargs=None,
 ) -> KGResult:
     cfg = cfg or DomainConfig()
 
@@ -89,7 +91,14 @@ def build_kg(
         else 4
     )
     mentions = (
-        extract_mentions(docs, cfg, concurrency=concurrency, batch_size=batch_size)
+        extract_mentions(
+            docs,
+            cfg,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            extractor_cls=extractor_cls,
+            extractor_kwargs=extractor_kwargs,
+        )
         .repartition(max(32, n_cpus * 4))
         .materialize()
     )

@@ -301,6 +301,8 @@ def extract_mentions(
     *,
     concurrency=None,  # None → fixed pool sized to cluster CPUs
     batch_size: int = 256,
+    extractor_cls=None,        # swap the model (A1): MentionExtractor or
+    extractor_kwargs=None,     # a ClientExtractor subclass + its kwargs
 ):
     """docs(url, warc_ts, text, ...) → mentions Dataset via the actor pool."""
     if concurrency is None:
@@ -316,8 +318,8 @@ def extract_mentions(
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = max(2, (n * 3) // 4)
     return docs_ds.map_batches(
-        MentionExtractor,
-        fn_constructor_kwargs={"cfg": cfg},
+        extractor_cls or MentionExtractor,
+        fn_constructor_kwargs={"cfg": cfg, **(extractor_kwargs or {})},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
