@@ -63,16 +63,24 @@ def build_kg(
 ) -> KGResult:
     cfg = cfg or DomainConfig()
 
-    docs = extract_and_filter(pages_ds)
-    if use_relevance_gate or relevance_scorer is not None:
-        # F3 gate ahead of extraction. Off by default in the flagship:
-        # the deterministic scorer uses the extractor's own lexicon, so
-        # it cannot change the graph — it only pays for a second actor
-        # pool. Turn it on to prune extractor work on sparse corpora or
-        # to plug an LLM scorer (which CAN change the graph).
+    fused = not (use_relevance_gate or relevance_scorer is not None)
+    if fused:
+        # html→text is fused INTO the extraction actors (the extractor
+        # detects the html column): one pool does both kernels, so the
+        # CPU split between a task stage and an actor pool can't starve
+        # either side. The read is the only upstream work.
+        docs = pages_ds
+    else:
+        # F3 gate ahead of extraction needs the text column, so the
+        # stages stay separate. Off by default in the flagship: the
+        # deterministic scorer uses the extractor's own lexicon, so it
+        # cannot change the graph — turn it on to prune extractor work
+        # on sparse corpora or to plug an LLM scorer.
         from ..stages.relevance import relevance_gate
 
-        docs = relevance_gate(docs, cfg, scorer_fn=relevance_scorer)
+        docs = relevance_gate(
+            extract_and_filter(pages_ds), cfg, scorer_fn=relevance_scorer
+        )
     # Materialize at the mention boundary: `mentions` feeds BOTH the
     # raw-entity aggregation and the mentioned_in triple join; without a
     # checkpoint each consumer would re-execute the whole extraction
@@ -90,18 +98,22 @@ def build_kg(
         if _ray.is_initialized()
         else 4
     )
-    mentions = (
-        extract_mentions(
-            docs,
-            cfg,
-            concurrency=concurrency,
-            batch_size=batch_size,
-            extractor_cls=extractor_cls,
-            extractor_kwargs=extractor_kwargs,
-        )
-        .repartition(max(32, n_cpus * 4))
-        .materialize()
-    )
+    if concurrency is None and fused:
+        # all kernels live in the actor pool now; leave 2 CPUs for the
+        # (cheap) parquet read
+        concurrency = max(2, n_cpus - 2)
+    # No repartition before the materialize: Ray's dynamic block
+    # building already emits ~target-size blocks from the actor stage
+    # (measured 192 blocks for 25M mention rows), and the repartition
+    # round-trip cost ~10 s at 10M pages for no downstream gain.
+    mentions = extract_mentions(
+        docs,
+        cfg,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        extractor_cls=extractor_cls,
+        extractor_kwargs=extractor_kwargs,
+    ).materialize()
 
     # Everything below is vocabulary-scale (distinct names), not corpus
     # scale — materializing is cheap and avoids re-running the shuffles.
@@ -126,13 +138,25 @@ def build_kg(
     merge_stats = compute_merge_stats(verdicts, entities.count())
 
     nmap = node_map(entities)
+    # when a sort follows, mentioned_in distinctness is finished AFTER
+    # the sort (equal triples land adjacent in one block — verified:
+    # Ray's range partitioner never splits equal keys across blocks), so
+    # the salted dedup groupby shuffle is skipped — one all-to-all over
+    # the 25M-triple stream instead of two
     triples = entity_triples(entities).union(
-        mention_triples(mentions, nmap, num_partitions=num_partitions)
+        mention_triples(
+            mentions,
+            nmap,
+            num_partitions=num_partitions,
+            dedup="local" if sort_triples else "global",
+        )
     )
     if sort_triples == "sharded":
         triples = sharded_sorted_triples(triples)
     elif sort_triples:
-        triples = triples.sort(["subj", "pred", "obj"])
+        triples = triples.sort(["subj", "pred", "obj"]).map_batches(
+            _distinct_sorted_block, batch_format="pyarrow", batch_size=None
+        )
     return KGResult(
         triples=triples,
         entities=entities,
@@ -140,6 +164,28 @@ def build_kg(
         verdicts=verdicts,
         merge_stats=merge_stats,
     )
+
+
+def _distinct_sorted_block(batch):
+    """Adjacent-distinct over one sorted block (vectorized arrow
+    compare of each row against its predecessor). Exact globally
+    because the sort's range partitioner keeps equal keys in one
+    block (empirically verified; pinned by test with planted dups)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    n = batch.num_rows
+    if n <= 1:
+        return batch
+    keep = np.ones(n, dtype=bool)
+    same = None
+    for c in ("subj", "pred", "obj"):
+        col = batch[c].combine_chunks()
+        eq = _pc.equal(col.slice(1), col.slice(0, n - 1))
+        same = eq if same is None else _pc.and_(same, eq)
+    keep[1:] = ~same.to_numpy(zero_copy_only=False)
+    return batch.filter(_pa.array(keep))
 
 
 def sharded_sorted_triples(triples_ds, num_shards: int = 64):
@@ -176,8 +222,16 @@ def sharded_sorted_triples(triples_ds, num_shards: int = 64):
         return df
 
     def sort_shard(g: "_pa.Table") -> "_pa.Table":
-        return g.sort_by(
-            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        # sorted + adjacent-distinct: a shard holds ALL rows of each of
+        # its subjects (hash partition), so the distinct is exact
+        return _distinct_sorted_block(
+            g.sort_by(
+                [
+                    ("subj", "ascending"),
+                    ("pred", "ascending"),
+                    ("obj", "ascending"),
+                ]
+            )
         )
 
     return (

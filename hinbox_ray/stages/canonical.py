@@ -201,15 +201,24 @@ def mention_triples(
     *,
     num_partitions: int = 32,
     broadcast_threshold: int = 5_000_000,
+    dedup: str = "global",
 ):
     """(entity_id, "mentioned_in", url) — one per linked article
     (reference: article link-once at mergers.py:1002-1017).
 
     Size-based plan: the node→entity map is vocabulary-scale. When it
     fits comfortably in memory (≤ broadcast_threshold rows) it is
-    ``ray.put`` once and every task maps node→entity locally — ONE
-    shuffle (the salted dedup) instead of two. Past the threshold, the
-    salted co-group (stages/cogroup.py) attaches ids with a shuffle.
+    shipped once per worker and every task maps node→entity locally.
+    Past the threshold, the salted co-group (stages/cogroup.py)
+    attaches ids with a shuffle.
+
+    ``dedup``: "global" runs the salted (entity_id, salt) groupby —
+    exact distinctness with no other pass needed. "local" dedups only
+    within each batch (same-doc name variants resolving to one entity —
+    the dominant duplicate source, since one doc's mentions share a
+    batch) and SKIPS the shuffle; the caller must finish distinctness
+    downstream (build_kg does it after the final sort, where equal
+    triples are adjacent — one all-to-all instead of two).
     """
     from .cogroup import _url_salt
     from .resolve import add_node_id
@@ -241,6 +250,8 @@ def mention_triples(
                     "url": df["url"][keep].astype(str),
                 }
             )
+            # local dedup: same-doc name variants → one entity
+            out = out.drop_duplicates(["entity_id", "url"])
             out["salt"] = _url_salt(out["url"], n_salts)
             return out
 
@@ -260,15 +271,20 @@ def mention_triples(
         )
         joined = attach_entity_id(mention_nodes, node_map_ds, n_salts=n_salts)
 
-    # distinct across name variants: two nodes in one doc can resolve to
-    # one entity. Dedup groups by (entity, salt) — duplicates share the
-    # url, urls share the salt, so the dedup is exact while hot entities
-    # still spread over n_salts reduce tasks (skew handling). Grouping
-    # by the (subj, obj) pair instead would make one tiny group per
-    # distinct pair and per-group overhead dominates (~40s at sf0.1×20).
-    deduped = joined.groupby(["entity_id", "salt"]).map_groups(
-        lambda g: g.drop_duplicates("url"), batch_format="pandas"
-    )
+    if dedup == "local":
+        # distinctness finished by the caller after its sort
+        deduped = joined
+    else:
+        # distinct across name variants: two nodes in one doc can resolve
+        # to one entity. Dedup groups by (entity, salt) — duplicates
+        # share the url, urls share the salt, so the dedup is exact
+        # while hot entities still spread over n_salts reduce tasks
+        # (skew handling). Grouping by the (subj, obj) pair instead
+        # would make one tiny group per distinct pair and per-group
+        # overhead dominates (~40s at sf0.1×20).
+        deduped = joined.groupby(["entity_id", "salt"]).map_groups(
+            lambda g: g.drop_duplicates("url"), batch_format="pandas"
+        )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -235,6 +235,18 @@ class MentionExtractor:
     # ── batch interface ──
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "html" in batch.column_names:
+            # FUSED mode: raw pages in, html→text + filter run inside
+            # this actor. html→text is ~2.5× the extraction kernel's
+            # cost; as a separate task stage it competes with this actor
+            # pool for CPUs and whichever side is under-allocated
+            # starves the other (measured: 112 s → 86 s at 10M pages /
+            # 32 cpus when fused). Lineage/memo paths still run the
+            # stages separately (they checkpoint the text boundary).
+            from ..functions.html_text import extract_text_batch
+            from .extract import filter_processable
+
+            batch = filter_processable(extract_text_batch(batch))
         urls = batch.column("url").to_pylist()
         tss = batch.column("warc_ts").to_pylist()
         texts = batch.column("text").to_pylist()

@@ -276,9 +276,15 @@ def resolve_from_checkpoint(
     )
     nmap = node_map(entities)
     triples = entity_triples(entities).union(
-        mention_triples(mentions, nmap, num_partitions=num_partitions)
+        mention_triples(
+            mentions, nmap, num_partitions=num_partitions, dedup="local"
+        )
     )
-    triples = triples.sort(["subj", "pred", "obj"])
+    from ..pipelines.kg import _distinct_sorted_block
+
+    triples = triples.sort(["subj", "pred", "obj"]).map_batches(
+        _distinct_sorted_block, batch_format="pyarrow", batch_size=None
+    )
 
     if write_triples:
         final = os.path.join(out_dir, "triples")

@@ -116,3 +116,42 @@ def test_write_kg_partitioned_roundtrip(ray_session, tmp_path):
     assert tri.num_rows == res.triples.count()
     ents = pq.read_table(out["entities_dir"])
     assert "entity_id" in ents.column_names
+
+
+def test_sorted_triples_are_globally_distinct(ray_session):
+    """Dedup-after-sort correctness: with the salted dedup shuffle
+    removed, the post-sort adjacent-distinct pass must leave no
+    duplicate (subj, pred, obj) anywhere — including across block
+    boundaries. The corpus plants the same entity via BOTH name
+    variants in every doc, the worst case for mentioned_in dups."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hinbox_ray.pipelines.kg import build_kg
+
+    n = 400
+    html = (
+        "<html><body><article><p>Mohammed al-Qahtani and Mohammed "
+        "al-Kahtani and the FBI and the Federal Bureau of Investigation "
+        "met at Guantanamo Bay near GTMO.</p></article></body></html>"
+    ).encode()
+    pages = pa.table(
+        {
+            "url": pa.array([f"https://dup.example/{i:05d}" for i in range(n)]),
+            "warc_ts": pa.array([1_600_000_000_000_000 + i for i in range(n)],
+                                type=pa.timestamp("us")),
+            "html": pa.array([html] * n, type=pa.binary()),
+            "text": pa.array([""] * n),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    res = build_kg(rd.from_arrow(pages), concurrency=2)
+    df = res.triples.to_pandas()
+    assert len(df) == len(df.drop_duplicates(["subj", "pred", "obj"]))
+    # every doc linked exactly once per canonical entity
+    m = df[df["pred"] == "mentioned_in"]
+    per_pair = m.groupby(["subj", "obj"]).size()
+    assert (per_pair == 1).all()
+    # the variant pairs truly merged (worst case exercised)
+    n_people = len(res.entities.to_pandas().query("entity_type == 'people'"))
+    assert n_people == 1
