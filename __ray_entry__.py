@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": T.doc_dedup_exact,
         "doc_token_stats": T.doc_token_stats,
         "doc_lang_id": T.doc_lang_id,
+        "doc_quality_score": T.doc_quality_score,
         "doc_fingerprint": T.doc_fingerprint,
         "doc_minhash_neardup": T.doc_minhash_neardup,
         "doc_jaccard_sample": T.doc_jaccard_sample,
@@ -124,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed / per-group operators
         "events_sessionize": A.events_sessionize,
         "events_asof_last_error": A.events_asof_last_error,
+        "events_trailing_count": A.events_trailing_count,
+        "orders_lineitem_range_join": A.orders_lineitem_range_join,
         "orders_top3_per_customer": A.orders_top3_per_customer,
         "supplier_count_by_nation": A.supplier_count_by_nation,
         "part_filter_like": A.part_filter_like,
@@ -245,6 +248,43 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stopwords
             FROM toks
         """,
+        "doc_quality_score": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(t)::BIGINT AS n_words,
+                       len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                         AS n_alpha_words,
+                       len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))::BIGINT
+                         AS n_symbol_words,
+                       coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                         AS sum_len,
+                       len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stop
+                FROM toks
+            ), f AS (
+                SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE (sum_len * 1000) // n_words END AS mean_word_len_e3,
+                       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+                        + CASE WHEN n_words > 0
+                                AND ((sum_len * 1000) // n_words < 3000
+                                     OR (sum_len * 1000) // n_words > 10000)
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN n_alpha_words * 10 < n_words * 8 THEN 1 ELSE 0 END
+                        + CASE WHEN n_symbol_words * 10 > n_words THEN 1 ELSE 0 END
+                        + CASE WHEN n_stop < 2 THEN 1 ELSE 0 END)::BIGINT AS quality_flags
+                FROM c
+            )
+            SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
+                   CAST(mean_word_len_e3 AS BIGINT) AS mean_word_len_e3,
+                   quality_flags,
+                   (CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)::BIGINT AS quality_pass
+            FROM f
+        """,
         "doc_minhash_neardup": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -364,6 +404,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(last_err, -1) AS last_error_us
             FROM w WHERE event_type = 'click'
             ORDER BY user_id, event_id
+        """,
+        "events_trailing_count": """
+            WITH o AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, event_id, us, event_type,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW
+                       ) AS cnt_win
+                FROM o
+            )
+            SELECT user_id, event_id, us AS err_us, CAST(cnt_win AS BIGINT) AS cnt_win
+            FROM w WHERE event_type = 'error'
+            ORDER BY user_id, event_id
+        """,
+        "orders_lineitem_range_join": """
+            WITH p AS (
+                SELECT epoch_us(l_shipdate) // 86400000000 AS d FROM lineitem
+            ),
+            o AS (
+                SELECT o_orderkey,
+                       epoch_us(o_orderdate) // 86400000000 AS s
+                FROM orders
+            )
+            SELECT o.o_orderkey, count(p.d) AS n_shipped
+            FROM o LEFT JOIN p ON p.d >= o.s AND p.d < o.s + 30
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
         """,
         "orders_top3_per_customer": """
             SELECT o_orderkey, o_custkey, o_totalprice,

@@ -544,3 +544,155 @@ def events_asof_last_error(sf_dir: str) -> ray.data.Dataset:
         .map_groups(asof, batch_format="pandas")
         .sort(["user_id", "event_id"])
     )
+
+
+def events_trailing_count(sf_dir: str, window_s: int = 300) -> ray.data.Dataset:
+    """Trailing RANGE-frame windowed aggregate: for each 'error' event,
+    the number of same-user events in the trailing ``window_s`` seconds
+    (inclusive of time-tie peers, exactly SQL's RANGE BETWEEN ...
+    PRECEDING AND CURRENT ROW).
+
+    Per-user map_groups with two vectorized ``searchsorted`` calls — no
+    per-row loop; same bounded-per-user partitioning assumption as
+    ``events_sessionize``.
+    """
+    import pandas as pd
+
+    win_us = window_s * 1_000_000
+
+    def trailing(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # RANGE frame: rows with time in [t - win, t], including peers
+        # of the current row that sort after it positionally
+        hi = np.searchsorted(us, us, side="right")
+        lo = np.searchsorted(us, us - win_us, side="left")
+        cnt = (hi - lo).astype(np.int64)
+        is_err = (g["event_type"] == "error").to_numpy()
+        errs = g[is_err]
+        return pd.DataFrame(
+            {
+                "user_id": errs["user_id"].to_numpy().astype(np.int64),
+                "event_id": errs["event_id"].to_numpy().astype(np.int64),
+                "err_us": us[is_err],
+                "cnt_win": cnt[is_err],
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.groupby("user_id")
+        .map_groups(trailing, batch_format="pandas")
+        .sort(["user_id", "event_id"])
+    )
+
+
+def orders_lineitem_range_join(
+    sf_dir: str, window_days: int = 30, band_days: int = 32
+) -> ray.data.Dataset:
+    """Distributed interval (range) join with NO equi-key: for each
+    order, the number of lineitems (any order's) whose ship day falls
+    in [o_orderdate, o_orderdate + window_days) — the banded range-join
+    custom operator Ray Data lacks.
+
+    Physical plan: both sides map their day values onto coarse time
+    bands (``band_days`` ≥ ``window_days`` ⇒ an interval overlaps at
+    most 2 bands, so interval rows replicate ≤2× and point rows exactly
+    1×); a single groupby(band) co-locates each band; the per-band
+    kernel sorts the point days once and answers every interval with
+    two vectorized ``searchsorted`` calls (O((P+I) log P) per band); a
+    final vocabulary-scale groupby(o_orderkey) sums the ≤2 partial
+    counts. Only (band, day) and (band, orderkey, start, end) int64
+    rows cross the shuffle — never the source tables.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert band_days >= window_days, "an interval must span ≤ 2 bands"
+    _US_PER_DAY = 86_400_000_000
+
+    def points(batch: pa.Table) -> pa.Table:
+        # all values positive → integer divide (truncating) == floor
+        day = pc.divide(batch["l_shipdate"].cast(pa.int64()), _US_PER_DAY)
+        n = len(batch)
+        return pa.table(
+            {
+                "band": pc.divide(day, band_days),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "day": day,
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "end_day": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def intervals(batch: pa.Table) -> pa.Table:
+        start = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy() // _US_PER_DAY
+        )
+        end = start + window_days  # exclusive
+        okey = batch["o_orderkey"].to_numpy()
+        b0 = start // band_days
+        b1 = (end - 1) // band_days
+        # one row per (interval, band-it-overlaps); b1 == b0 for most
+        dup = b1 != b0
+        band = np.concatenate([b0, b1[dup]])
+        return pa.table(
+            {
+                "band": pa.array(band, type=pa.int64()),
+                "kind": pa.array(np.ones(len(band), dtype=np.int8)),
+                "day": pa.array(
+                    np.concatenate([start, start[dup]]), type=pa.int64()
+                ),
+                "o_orderkey": pa.array(
+                    np.concatenate([okey, okey[dup]]), type=pa.int64()
+                ),
+                "end_day": pa.array(
+                    np.concatenate([end, end[dup]]), type=pa.int64()
+                ),
+            }
+        )
+
+    def band_kernel(g: "pd.DataFrame") -> "pd.DataFrame":
+        band = np.int64(g["band"].iloc[0])
+        is_pt = (g["kind"] == 0).to_numpy()
+        days = np.sort(g["day"].to_numpy()[is_pt])
+        iv = g[~is_pt]
+        if len(iv) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "partial": pd.Series([], dtype="int64"),
+                }
+            )
+        # only count points that belong to THIS band (each point lives
+        # in exactly one band, so cross-band double counting is
+        # impossible by construction; still clamp for clarity)
+        lo_day = np.maximum(iv["day"].to_numpy(), band * band_days)
+        hi_day = np.minimum(iv["end_day"].to_numpy(), (band + 1) * band_days)
+        cnt = np.searchsorted(days, hi_day, side="left") - np.searchsorted(
+            days, lo_day, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": iv["o_orderkey"].to_numpy().astype(np.int64),
+                "partial": cnt.astype(np.int64),
+            }
+        )
+
+    pts = read_table(sf_dir, "lineitem", columns=["l_shipdate"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    ivs = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(intervals, batch_format="pyarrow")
+    return (
+        pts.union(ivs)
+        .groupby("band")
+        .map_groups(band_kernel, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("partial", alias_name="n_shipped"))
+        .sort("o_orderkey")
+    )

@@ -145,6 +145,78 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_ALNUM_RE = re.compile(r"[A-Za-z0-9]")
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models",
+# §A.1.1 repetition/quality filters — adapted to integer arithmetic so
+# the cross-engine value hash is exact).
+QUALITY_MIN_WORDS = 50
+QUALITY_MAX_WORDS = 100_000
+QUALITY_MEAN_LEN_LO_E3 = 3_000  # mean word length in [3, 10] chars
+QUALITY_MEAN_LEN_HI_E3 = 10_000
+QUALITY_MIN_STOPWORDS = 2
+
+
+def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style document quality scoring, all-integer outputs.
+
+    Per doc: word count, words-with-an-ASCII-letter count, symbol-only
+    word count, mean word length (×1e3, integer floor division), the
+    number of failed quality rules (``quality_flags``) and a 0/1
+    ``quality_pass``. Rules: word count in [50, 100k]; mean word length
+    in [3, 10]; ≥80% of words contain a letter; ≤10% symbol-only words;
+    ≥2 stopword hits. Stateless ``map_batches`` over a 2-column pruned
+    read — embarrassingly parallel at any scale.
+    """
+
+    def score(batch: pa.Table) -> pa.Table:
+        stop = set(STOPWORDS)
+        n_words, n_alpha, n_sym, mean_e3, flags = [], [], [], [], []
+        for text in batch["text"].to_pylist():
+            toks = _tokens(text)
+            nw = len(toks)
+            na = sum(1 for t in toks if _ALPHA_RE.search(t))
+            ns = sum(1 for t in toks if not _ALNUM_RE.search(t))
+            nstop = sum(t in stop for t in toks)
+            sum_len = sum(map(len, toks))
+            m_e3 = (sum_len * 1000) // nw if nw else 0
+            f = 0
+            if nw < QUALITY_MIN_WORDS or nw > QUALITY_MAX_WORDS:
+                f += 1
+            if nw > 0 and (
+                m_e3 < QUALITY_MEAN_LEN_LO_E3 or m_e3 > QUALITY_MEAN_LEN_HI_E3
+            ):
+                f += 1
+            if na * 10 < nw * 8:
+                f += 1
+            if ns * 10 > nw:
+                f += 1
+            if nstop < QUALITY_MIN_STOPWORDS:
+                f += 1
+            n_words.append(nw)
+            n_alpha.append(na)
+            n_sym.append(ns)
+            mean_e3.append(m_e3)
+            flags.append(f)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_alpha_words": pa.array(n_alpha, type=pa.int64()),
+                "n_symbol_words": pa.array(n_sym, type=pa.int64()),
+                "mean_word_len_e3": pa.array(mean_e3, type=pa.int64()),
+                "quality_flags": pa.array(flags, type=pa.int64()),
+                "quality_pass": pa.array(
+                    [1 if f == 0 else 0 for f in flags], type=pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID: argmax marker-word overlap, 'und' if none.
 

@@ -143,15 +143,20 @@ def node_map(entities_ds):
     """(node_id → entity_id) mapping dataset (vocabulary-scale)."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        node_ids: List[int] = []
-        eids: List[str] = []
-        for _, row in df.iterrows():
-            for n in row["member_nodes"]:
-                node_ids.append(int(n))
-                eids.append(row["entity_id"])
-        return pd.DataFrame(
-            {"node_id": np.array(node_ids, dtype=np.int64), "entity_id": eids}
+        members = df["member_nodes"].tolist()
+        counts = np.fromiter(map(len, members), dtype=np.int64, count=len(members))
+        if counts.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "node_id": pd.Series([], dtype="int64"),
+                    "entity_id": pd.Series([], dtype=object),
+                }
+            )
+        node_ids = np.concatenate(
+            [np.asarray(m, dtype=np.int64) for m in members if len(m)]
         )
+        eids = np.repeat(df["entity_id"].to_numpy(), counts)
+        return pd.DataFrame({"node_id": node_ids, "entity_id": eids})
 
     return entities_ds.map_batches(explode, batch_format="pandas")
 
@@ -166,29 +171,56 @@ TRIPLES_SCHEMA = pa.schema(
 
 
 def _entity_triples_batch(df: pd.DataFrame) -> pd.DataFrame:
-    subj: List[str] = []
-    pred: List[str] = []
-    obj: List[str] = []
+    """Vectorized triple emission: one masked slice per predicate kind
+    (the downstream global sort makes emission order irrelevant)."""
+    eid = df["entity_id"].to_numpy()
+    etype = df["entity_type"].to_numpy()
+    parts: List[pd.DataFrame] = []
 
-    def emit(s: str, p: str, o: str):
-        if o:
-            subj.append(s)
-            pred.append(p)
-            obj.append(o)
+    def block(mask: np.ndarray, pred: str, col: str) -> None:
+        vals = df[col].to_numpy()
+        m = mask & pd.notna(vals) & (vals != "")
+        if m.any():
+            parts.append(
+                pd.DataFrame({"subj": eid[m], "pred": pred, "obj": vals[m]})
+            )
 
-    for _, row in df.iterrows():
-        eid = row["entity_id"]
-        emit(eid, "rdf:type", row["entity_type"])
-        emit(eid, "name", row["name"])
-        for a in split_aliases(row["aliases"]):
-            emit(eid, "alias", a)
-        if row["entity_type"] in ("organizations", "locations"):
-            emit(eid, "type", row["attr_type"])
-        elif row["entity_type"] == "events":
-            emit(eid, "event_type", row["event_type"])
-            emit(eid, "start_date", row["start_date"])
-            emit(eid, "end_date", row["end_date"])
-    return pd.DataFrame({"subj": subj, "pred": pred, "obj": obj})
+    every = np.ones(len(df), dtype=bool)
+    block(every, "rdf:type", "entity_type")
+    block(every, "name", "name")
+
+    alias_lists = [split_aliases(a) for a in df["aliases"]]
+    counts = np.fromiter(
+        map(len, alias_lists), dtype=np.int64, count=len(alias_lists)
+    )
+    if counts.sum():
+        parts.append(
+            pd.DataFrame(
+                {
+                    "subj": np.repeat(eid, counts),
+                    "pred": "alias",
+                    "obj": np.concatenate(
+                        [np.asarray(a, dtype=object) for a in alias_lists if a]
+                    ),
+                }
+            )
+        )
+
+    block(np.isin(etype, ("organizations", "locations")), "type", "attr_type")
+    is_ev = etype == "events"
+    block(is_ev, "event_type", "event_type")
+    block(is_ev, "start_date", "start_date")
+    block(is_ev, "end_date", "end_date")
+
+    if not parts:
+        return pd.DataFrame(
+            {
+                "subj": pd.Series([], dtype=object),
+                "pred": pd.Series([], dtype=object),
+                "obj": pd.Series([], dtype=object),
+            }
+        )
+    return pd.concat(parts, ignore_index=True)
 
 
 def entity_triples(entities_ds):

@@ -245,34 +245,57 @@ def _explode_blocking(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
         t: equivalence_group_index(cfg.groups_for(t))
         for t in ("people", "organizations", "locations", "events")
     }
-    out = {
-        "block_key": [],
-        "node_id": [],
-        "entity_type": [],
-        "name": [],
-        "attr_type": [],
-        "start_date": [],
-        "aliases": [],
-        "n_mentions": [],
-    }
+    # per-row key computation is inherent (string normalization inside
+    # blocking_keys); the fan-out itself is vectorized via np.repeat
+    keys_per_row: List[List[str]] = []
+    alias_joined: List[str] = []
     for row in df.itertuples(index=False):
         aliases = split_aliases(row.aliases)
-        for bk in blocking_keys(
-            row.entity_type,
-            row.name,
-            aliases,
-            cfg=cfg,
-            group_index=group_idx[row.entity_type],
-        ):
-            out["block_key"].append(bk)
-            out["node_id"].append(row.node_id)
-            out["entity_type"].append(row.entity_type)
-            out["name"].append(row.name)
-            out["attr_type"].append(row.attr_type)
-            out["start_date"].append(row.start_date)
-            out["aliases"].append(join_aliases(aliases))
-            out["n_mentions"].append(row.n_mentions)
-    return pd.DataFrame(out)
+        keys_per_row.append(
+            list(
+                blocking_keys(
+                    row.entity_type,
+                    row.name,
+                    aliases,
+                    cfg=cfg,
+                    group_index=group_idx[row.entity_type],
+                )
+            )
+        )
+        alias_joined.append(join_aliases(aliases))
+    counts = np.fromiter(
+        map(len, keys_per_row), dtype=np.int64, count=len(keys_per_row)
+    )
+    if counts.sum() == 0:
+        return pd.DataFrame(
+            {
+                "block_key": pd.Series([], dtype=object),
+                "node_id": pd.Series([], dtype="int64"),
+                "entity_type": pd.Series([], dtype=object),
+                "name": pd.Series([], dtype=object),
+                "attr_type": pd.Series([], dtype=object),
+                "start_date": pd.Series([], dtype=object),
+                "aliases": pd.Series([], dtype=object),
+                "n_mentions": pd.Series([], dtype="int64"),
+            }
+        )
+    rep = lambda col: np.repeat(df[col].to_numpy(), counts)  # noqa: E731
+    return pd.DataFrame(
+        {
+            "block_key": np.concatenate(
+                [np.asarray(k, dtype=object) for k in keys_per_row if k]
+            ),
+            "node_id": np.repeat(
+                df["node_id"].to_numpy().astype(np.int64), counts
+            ),
+            "entity_type": rep("entity_type"),
+            "name": rep("name"),
+            "attr_type": rep("attr_type"),
+            "start_date": rep("start_date"),
+            "aliases": np.repeat(np.asarray(alias_joined, dtype=object), counts),
+            "n_mentions": rep("n_mentions"),
+        }
+    )
 
 
 PAIR_META_COLS = [

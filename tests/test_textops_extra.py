@@ -162,3 +162,57 @@ def test_embedding_neardup_lsh_recall_on_planted_dups(ray_session, tmp_path):
     assert lsh_pairs <= exact_pairs  # verify step kills false positives
     recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
     assert recall == 1.0, (recall, exact_pairs - lsh_pairs)
+
+
+def test_doc_quality_score_edge_cases(ray_session, tmp_path):
+    """Empty text, symbol-only text, and a healthy doc score correctly;
+    integer arithmetic matches the DuckDB oracle's (// division)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import doc_quality_score
+
+    healthy = ("the cat sat of and to in " + "wordy " * 60).strip()
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "",  # empty → flagged short + no stopwords
+                    "### *** !!! $$$ %%%",  # symbol-only
+                    "tiny doc the of",  # too short but has stopwords
+                    healthy,  # passes every rule
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = (
+        doc_quality_score(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "n_words"] == 0
+    assert out.loc[0, "quality_flags"] == 2  # short + stopwords
+    assert out.loc[1, "n_symbol_words"] == 5
+    assert out.loc[1, "quality_flags"] >= 3  # short, alpha, symbol, stopwords
+    assert out.loc[2, "quality_flags"] == 1  # only too-short
+    assert out.loc[3, "quality_flags"] == 0
+    assert out.loc[3, "quality_pass"] == 1
+    assert (out["quality_pass"] == (out["quality_flags"] == 0).astype(int)).all()
+
+    # exact cross-engine parity on these adversarial rows
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    pq_path = str(tmp_path / "documents.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    oracle = (
+        con.execute(E.oracle_sql()["doc_quality_score"])
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for col in out.columns:
+        assert (out[col].astype("int64") == oracle[col].astype("int64")).all(), col
