@@ -108,6 +108,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_by_nation": A.customer_revenue_by_nation,
         "events_daily": A.events_daily,
         "events_distinct_users": A.events_distinct_users,
+        "revenue_by_region": A.revenue_by_region,
+        "customers_no_orders": A.customers_no_orders,
+        "suppliers_with_shipments": A.suppliers_with_shipments,
+        "orders_price_quantiles": A.orders_price_quantiles,
+        "events_rollup": A.events_rollup,
+        "events_hll_users": A.events_hll_users,
         # --- training-data toolbox (dedup / fingerprints / similarity)
         "doc_dedup_exact": T.doc_dedup_exact,
         "doc_token_stats": T.doc_token_stats,
@@ -434,6 +440,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, count(p.d) AS n_shipped
             FROM o LEFT JOIN p ON p.d >= o.s AND p.d < o.s + 30
             GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+        """,
+        "revenue_by_region": """
+            SELECT r_name AS region_name,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount)) + 0.5)
+                        AS BIGINT) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "suppliers_with_shipments": """
+            SELECT n_name AS nation_name, count(*)::BIGINT AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "orders_price_quantiles": """
+            SELECT * FROM (
+                SELECT 25::BIGINT AS pct, quantile_disc(o_totalprice, 0.25) AS price FROM orders
+                UNION ALL
+                SELECT 50::BIGINT, quantile_disc(o_totalprice, 0.50) FROM orders
+                UNION ALL
+                SELECT 75::BIGINT, quantile_disc(o_totalprice, 0.75) FROM orders
+                UNION ALL
+                SELECT 95::BIGINT, quantile_disc(o_totalprice, 0.95) FROM orders
+            ) ORDER BY pct
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day
+                FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, -1)::BIGINT AS day,
+                   count(*)::BIGINT AS n_events
+            FROM e GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type, day
         """,
         "orders_top3_per_customer": """
             SELECT o_orderkey, o_custkey, o_totalprice,

@@ -1,0 +1,66 @@
+"""Targeted tests for the round-2 analytics operators that the oracle
+parametrization can't fully pin (sketch accuracy, index conventions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_matches_exact_within_3_sigma(ray_session):
+    import duckdb
+
+    from hinbox_ray.pipelines.analytics import events_hll_users
+
+    est = int(events_hll_users(SF).to_pandas()["n_users_est"].iloc[0])
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    # p=14 → σ ≈ 1.04/√16384 ≈ 0.81%; allow 3σ
+    assert abs(est - exact) / exact < 0.025, (est, exact)
+
+
+def test_hll_is_deterministic(ray_session):
+    from hinbox_ray.pipelines.analytics import events_hll_users
+
+    a = int(events_hll_users(SF).to_pandas()["n_users_est"].iloc[0])
+    b = int(events_hll_users(SF).to_pandas()["n_users_est"].iloc[0])
+    assert a == b
+
+
+def test_quantile_disc_convention(ray_session, tmp_path):
+    """orders_price_quantiles must use DuckDB's quantile_disc index
+    (sorted ascending, element at ceil(q*n)-1) — pinned on a table
+    small enough to enumerate, with values straddling bucket edges."""
+    import duckdb
+
+    from hinbox_ray.pipelines.analytics import orders_price_quantiles
+
+    vals = [1.0, 63.9, 64.0, 64.1, 100.0, 128.0, 1000.5, 2000.25, 5.5, 70.0]
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), type=pa.int64()),
+            "o_custkey": pa.array([1] * n, type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n),
+            "o_totalprice": pa.array(vals, type=pa.float64()),
+            "o_orderdate": pa.array([0] * n, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    mine = (
+        orders_price_quantiles(str(tmp_path))
+        .to_pandas()
+        .set_index("pct")["price"]
+    )
+    for q in (0.25, 0.5, 0.75, 0.95):
+        want = duckdb.sql(
+            f"SELECT quantile_disc(o_totalprice, {q}) "
+            f"FROM '{tmp_path}/orders.parquet'"
+        ).fetchone()[0]
+        assert mine[int(q * 100)] == want, (q, mine[int(q * 100)], want)
