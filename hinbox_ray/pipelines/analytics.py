@@ -598,15 +598,20 @@ def orders_lineitem_range_join(
     in [o_orderdate, o_orderdate + window_days) — the banded range-join
     custom operator Ray Data lacks.
 
-    Physical plan: both sides map their day values onto coarse time
-    bands (``band_days`` ≥ ``window_days`` ⇒ an interval overlaps at
-    most 2 bands, so interval rows replicate ≤2× and point rows exactly
-    1×); a single groupby(band) co-locates each band; the per-band
-    kernel sorts the point days once and answers every interval with
-    two vectorized ``searchsorted`` calls (O((P+I) log P) per band); a
-    final vocabulary-scale groupby(o_orderkey) sums the ≤2 partial
-    counts. Only (band, day) and (band, orderkey, start, end) int64
-    rows cross the shuffle — never the source tables.
+    Physical plan: each interval lands in exactly ONE band (by its
+    start day) and the POINT side replicates into every band whose
+    intervals can see it (``band_days`` ≥ ``window_days`` ⇒ ≤2 bands
+    per point), so each interval is answered completely inside its
+    band and NO per-orderkey re-aggregation is needed afterwards — at
+    orders cardinality that final aggregate, not the shuffle, was the
+    measured bottleneck (48 s of a 60 s run at sf0.1). The point side
+    also pre-aggregates to per-batch (day, count) pairs BEFORE the
+    shuffle — day cardinality is the calendar, not the corpus, so
+    shuffle volume is O(batches × distinct-days-per-batch) int64 rows
+    regardless of corpus size; the kernel prefix-sums the counts so
+    duplicate day entries from different batches need no pre-merge.
+    Only (band, day, cnt) and (band, orderkey, start, end) int64 rows
+    cross the shuffle — never the source tables.
     """
     import numpy as np
     import pandas as pd
@@ -615,70 +620,84 @@ def orders_lineitem_range_join(
     _US_PER_DAY = 86_400_000_000
 
     def points(batch: pa.Table) -> pa.Table:
-        # all values positive → integer divide (truncating) == floor
-        day = pc.divide(batch["l_shipdate"].cast(pa.int64()), _US_PER_DAY)
-        n = len(batch)
+        # all values positive → integer divide (truncating) == floor;
+        # combine to (day, count) per batch — calendar-scale output.
+        # A point at day d is visible to intervals starting in
+        # [d - window + 1, d], i.e. bands floor((d-w+1)/B)..floor(d/B)
+        # — at most 2 since window ≤ band_days.  Ship the (day, cnt)
+        # pair to each such band.
+        day = (
+            batch["l_shipdate"].cast(pa.int64()).to_numpy() // _US_PER_DAY
+        )
+        ud, cnt = np.unique(day, return_counts=True)
+        b_hi = ud // band_days
+        b_lo = (ud - window_days + 1) // band_days
+        dup = b_lo != b_hi
+        band = np.concatenate([b_hi, b_lo[dup]])
+        n = len(band)
         return pa.table(
             {
-                "band": pc.divide(day, band_days),
+                "band": pa.array(band, type=pa.int64()),
                 "kind": pa.array(np.zeros(n, dtype=np.int8)),
-                "day": day,
+                "day": pa.array(
+                    np.concatenate([ud, ud[dup]]), type=pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate([cnt, cnt[dup]]).astype(np.int64)
+                ),
                 "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
                 "end_day": pa.array(np.full(n, -1, dtype=np.int64)),
             }
         )
 
     def intervals(batch: pa.Table) -> pa.Table:
+        # each interval lives in exactly ONE band — its start's band —
+        # so the band kernel's answer for it is final
         start = (
             batch["o_orderdate"].cast(pa.int64()).to_numpy() // _US_PER_DAY
         )
         end = start + window_days  # exclusive
         okey = batch["o_orderkey"].to_numpy()
-        b0 = start // band_days
-        b1 = (end - 1) // band_days
-        # one row per (interval, band-it-overlaps); b1 == b0 for most
-        dup = b1 != b0
-        band = np.concatenate([b0, b1[dup]])
+        n = len(start)
         return pa.table(
             {
-                "band": pa.array(band, type=pa.int64()),
-                "kind": pa.array(np.ones(len(band), dtype=np.int8)),
-                "day": pa.array(
-                    np.concatenate([start, start[dup]]), type=pa.int64()
-                ),
-                "o_orderkey": pa.array(
-                    np.concatenate([okey, okey[dup]]), type=pa.int64()
-                ),
-                "end_day": pa.array(
-                    np.concatenate([end, end[dup]]), type=pa.int64()
-                ),
+                "band": pa.array(start // band_days, type=pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "day": pa.array(start, type=pa.int64()),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": pa.array(okey, type=pa.int64()),
+                "end_day": pa.array(end, type=pa.int64()),
             }
         )
 
     def band_kernel(g: "pd.DataFrame") -> "pd.DataFrame":
-        band = np.int64(g["band"].iloc[0])
         is_pt = (g["kind"] == 0).to_numpy()
-        days = np.sort(g["day"].to_numpy()[is_pt])
         iv = g[~is_pt]
         if len(iv) == 0:
             return pd.DataFrame(
                 {
                     "o_orderkey": pd.Series([], dtype="int64"),
-                    "partial": pd.Series([], dtype="int64"),
+                    "n_shipped": pd.Series([], dtype="int64"),
                 }
             )
-        # only count points that belong to THIS band (each point lives
-        # in exactly one band, so cross-band double counting is
-        # impossible by construction; still clamp for clarity)
-        lo_day = np.maximum(iv["day"].to_numpy(), band * band_days)
-        hi_day = np.minimum(iv["end_day"].to_numpy(), (band + 1) * band_days)
-        cnt = np.searchsorted(days, hi_day, side="left") - np.searchsorted(
-            days, lo_day, side="left"
+        # (day, cnt) pairs may repeat across batches — sorting and
+        # prefix-summing the multiset handles that without a pre-merge
+        days = g["day"].to_numpy()[is_pt]
+        dcnt = g["cnt"].to_numpy()[is_pt]
+        o_ = np.argsort(days, kind="stable")
+        days, dcnt = days[o_], dcnt[o_]
+        cum = np.concatenate([[0], np.cumsum(dcnt)])
+        # every point an interval of THIS band can see was shipped
+        # here (points replicate to both reachable bands), so count
+        # the full [start, end) range — the answer is final
+        cnt = (
+            cum[np.searchsorted(days, iv["end_day"].to_numpy(), side="left")]
+            - cum[np.searchsorted(days, iv["day"].to_numpy(), side="left")]
         )
         return pd.DataFrame(
             {
                 "o_orderkey": iv["o_orderkey"].to_numpy().astype(np.int64),
-                "partial": cnt.astype(np.int64),
+                "n_shipped": cnt.astype(np.int64),
             }
         )
 
@@ -692,8 +711,6 @@ def orders_lineitem_range_join(
         pts.union(ivs)
         .groupby("band")
         .map_groups(band_kernel, batch_format="pandas")
-        .groupby("o_orderkey")
-        .aggregate(Sum("partial", alias_name="n_shipped"))
         .sort("o_orderkey")
     )
 
