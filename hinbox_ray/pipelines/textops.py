@@ -375,18 +375,25 @@ def _minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dataset":
-    """Sort-shuffle co-group: fill grams_{a,b} for the pair rows keyed by
-    ``side`` (doc_a or doc_b). With ``dedup`` every pair (a, b) collapses
-    to one row — all rows for a given doc_a are co-located in its group,
-    so the dedup is global without a separate shuffle. Avoids
-    ``Dataset.join`` (hash-join misrouting + per-join actor spin-up; see
-    stages/cogroup.py)."""
+def _attach_grams(
+    pairs_ds, sigs_ds, side: str, *, dedup: bool, n_buckets: int = 256
+) -> "ray.data.Dataset":
+    """Bucketed hash-partition co-group: fill grams_{a,b} for the pair
+    rows keyed by ``side`` (doc_a or doc_b). Both sides map onto
+    ``id % n_buckets`` so ONE sort-shuffle co-locates each bucket —
+    ~``n_buckets`` groups regardless of corpus size, NOT one group per
+    doc (whose ~0.4 ms fixed ``map_groups`` cost dominated this stage
+    at corpus scale) — and the per-bucket kernel is one vectorized
+    pandas merge. With ``dedup`` every pair (a, b) collapses to one
+    row; the dedup is global because the key's ``side`` component
+    determines the bucket. Avoids ``Dataset.join`` (hash-join
+    misrouting + per-join actor spin-up; see stages/cogroup.py)."""
     gcol = "grams_a" if side == "doc_a" else "grams_b"
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
+                "bucket": (df[side].astype(np.int64) % n_buckets).to_numpy(),
                 "doc_a": df["doc_a"].astype(np.int64).to_numpy(),
                 "doc_b": df["doc_b"].astype(np.int64).to_numpy(),
                 "_src": np.int8(0),
@@ -394,13 +401,14 @@ def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dat
         )
         for c in ("grams_a", "grams_b"):
             out[c] = df[c].to_numpy() if c in df.columns else b""
-        return out[["doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
+        return out[["bucket", "doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
 
     def tag_right(t: pa.Table) -> pd.DataFrame:
         n = t.num_rows
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out = pd.DataFrame(
             {
+                "bucket": ids % n_buckets,
                 "doc_a": ids if side == "doc_a" else np.int64(-1),
                 "doc_b": ids if side == "doc_b" else np.int64(-1),
                 "_src": np.full(n, 1, dtype=np.int8),
@@ -409,9 +417,9 @@ def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dat
         blobs = t["grams"].to_pylist()
         out["grams_a"] = blobs if side == "doc_a" else b""
         out["grams_b"] = blobs if side == "doc_b" else b""
-        return out[["doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
+        return out[["bucket", "doc_a", "doc_b", "grams_a", "grams_b", "_src"]]
 
-    def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         maps = g[g["_src"] == 1]
         rows = g[g["_src"] == 0]
         if rows.empty or maps.empty:
@@ -425,16 +433,19 @@ def _attach_grams(pairs_ds, sigs_ds, side: str, *, dedup: bool) -> "ray.data.Dat
             )
         if dedup:
             rows = rows.drop_duplicates(["doc_a", "doc_b"])
-        rows = rows.drop(columns=["_src"]).copy()
-        rows[gcol] = maps[gcol].iloc[0]
-        return rows
+        lut = maps[[side, gcol]].drop_duplicates(side)
+        rows = (
+            rows.drop(columns=["_src", "bucket", gcol])
+            .merge(lut, on=side, how="inner")
+        )
+        return rows[["doc_a", "doc_b", "grams_a", "grams_b"]]
 
     left = pairs_ds.map_batches(tag_left, batch_format="pandas")
     right = sigs_ds.select_columns(["doc_id", "grams"]).map_batches(
         tag_right, batch_format="pyarrow"
     )
-    return left.union(right).groupby(side).map_groups(
-        resolve_group, batch_format="pandas"
+    return left.union(right).groupby("bucket").map_groups(
+        resolve_bucket, batch_format="pandas"
     )
 
 
@@ -593,6 +604,72 @@ def doc_minhash_neardup(
 # Similarity search over embeddings
 
 
+def _emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a ``list<float>`` / ``fixed_size_list``
+    column by flattening the child values buffer and reshaping —
+    zero-copy from the Arrow block, never a Python list
+    materialization (this runs on the corpus-scale path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[col.offset * dim : (col.offset + len(col)) * dim]
+        return flat.reshape(len(col), dim).astype(dtype, copy=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if (widths == widths[0]).all():
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[offs[0] : offs[-1]]
+        return flat.reshape(len(col), widths[0]).astype(dtype, copy=False)
+    # ragged dims (never the embeddings table; defensive fallback)
+    return np.array(col.to_pylist(), dtype=dtype)
+
+
+def _list_f64(M: np.ndarray) -> pa.Array:
+    """Fixed-size-list<float64> column from a C-contiguous (n, dim)
+    matrix — one zero-copy wrap of the ravel, no per-row Python."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(M).ravel(), type=pa.float64()),
+        M.shape[1],
+    )
+
+
+def _bin_matrix(col, itemsize: int = 8) -> np.ndarray:
+    """(n, dim) float64 matrix from a ``binary`` column whose every
+    value is a raw float64 vector of the same byte width — reads the
+    offsets + data buffers directly (no per-row bytes objects)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_t = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_t)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    widths = np.diff(offs)
+    if len(widths) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    assert (widths == widths[0]).all(), "ragged binary vectors"
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    return flat.view(np.float64).reshape(len(col), widths[0] // itemsize)
+
+
+def _bin_rows(M: np.ndarray) -> pa.Array:
+    """Binary column whose row i is the raw float64 bytes of M[i] —
+    built from two whole buffers (offsets + flat data), no per-row
+    Python bytes objects."""
+    n, dim = M.shape
+    flat = np.ascontiguousarray(M, dtype=np.float64)
+    offs = np.arange(n + 1, dtype=np.int32) * (dim * 8)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
 def _query_matrix(sf_dir: str, query_ids: Iterable[int]) -> np.ndarray:
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -616,7 +693,7 @@ def knn_bruteforce(
     qids = np.array(query_ids, dtype=np.int64)
 
     def score(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch["embedding"])
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -655,14 +732,14 @@ def knn_bruteforce(
 
 
 def _normalize_embeddings(batch: pa.Table) -> pa.Table:
-    emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    emb = _emb_matrix(batch["embedding"])
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     En = emb / norms
     return pa.table(
         {
             "vec_id": batch["vec_id"].cast(pa.int64()),
-            "emb": pa.array(list(En), type=pa.list_(pa.float64())),
+            "emb": _list_f64(En),
         }
     )
 
@@ -712,8 +789,8 @@ def embedding_neardup(
                 continue
             a_ids = A["vec_id"].to_numpy(zero_copy_only=False)
             b_ids = B["vec_id"].to_numpy(zero_copy_only=False)
-            Ae = np.array(A["emb"].to_pylist(), dtype=np.float64)
-            Be = Ae if j == i else np.array(B["emb"].to_pylist(), dtype=np.float64)
+            Ae = _emb_matrix(A["emb"])
+            Be = Ae if j == i else _emb_matrix(B["emb"])
             cos = Ae @ Be.T
             ii, jj = np.nonzero(cos >= threshold)
             a = a_ids[ii]
@@ -784,7 +861,7 @@ def build_ivf_index(sf_dir: str, index_dir: str) -> str:
         return index_dir
 
     def assign(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         En = emb / norms
@@ -793,7 +870,7 @@ def build_ivf_index(sf_dir: str, index_dir: str) -> str:
         return pa.table(
             {
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "emb": pa.array(list(En), type=pa.list_(pa.float64())),
+                "emb": _list_f64(En),
                 # bucket_id duplicates the partition key INSIDE the file:
                 # reading probed partition dirs by path drops the hive
                 # column, and the scorer needs the per-row bucket
@@ -870,9 +947,9 @@ def knn_ivf(
     union_probes = sorted(set().union(*probe_sets))
 
     def score(batch: pa.Table) -> pa.Table:
-        En = np.array(batch["emb"].to_pylist(), dtype=np.float64)
+        En = _emb_matrix(batch["emb"])
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        buckets = np.asarray(batch["bucket_id"].to_pylist(), dtype=np.int64)
+        buckets = batch["bucket_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
             mask = np.isin(buckets, list(probe_sets[qi]))
@@ -954,7 +1031,7 @@ def embedding_neardup_lsh(
     two copies of each paired vector transit the shuffle.
     """
     def sig(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -963,21 +1040,21 @@ def embedding_neardup_lsh(
         # tasks recompute the same planes; ~L·b·dim floats, trivial)
         H = np.random.default_rng(23).standard_normal((n_tables * n_bits, En.shape[1]))
         bits = (En @ H.T) > 0  # (n, L*b)
-        weights = 1 << np.arange(n_bits)
-        band_lists = []
-        for r in range(len(ids)):
-            row = bits[r].reshape(n_tables, n_bits)
-            codes = row @ weights
-            band_lists.append(
-                [f"{t}:{int(codes[t]):02x}" for t in range(n_tables)]
-            )
+        # table-salted int64 band key: table t's codes occupy
+        # [t << n_bits, (t+1) << n_bits) — fully vectorized, and an
+        # int64 shuffle key is far cheaper than the string keys the
+        # text-shingle path uses
+        codes = bits.reshape(len(ids), n_tables, n_bits) @ (
+            1 << np.arange(n_bits, dtype=np.int64)
+        )
+        keys = codes + (np.arange(n_tables, dtype=np.int64) << n_bits)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "bands": pa.array(band_lists, type=pa.list_(pa.string())),
-                "grams": pa.array(
-                    [En[r].tobytes() for r in range(len(ids))], type=pa.binary()
+                "bands": pa.FixedSizeListArray.from_arrays(
+                    pa.array(keys.ravel(), type=pa.int64()), n_tables
                 ),
+                "grams": _bin_rows(En),
             }
         )
 
@@ -988,16 +1065,18 @@ def embedding_neardup_lsh(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, ids = [], []
-        for doc_id, bands in zip(
-            batch["doc_id"].to_pylist(), batch["bands"].to_pylist()
-        ):
-            for bk in bands:
-                keys.append(bk)
-                ids.append(doc_id)
+        col = batch["bands"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[col.offset * n_tables : (col.offset + len(col)) * n_tables]
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_tables,
+        )
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.string()),
+                "band_key": pa.array(flat, type=pa.int64()),
                 "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
@@ -1037,25 +1116,32 @@ def embedding_neardup_lsh(
     with_b = _attach_grams(with_a, sigs, "doc_b", dedup=False)
 
     def verify(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_c = [], [], []
-        for a, b, ga, gb in zip(
-            batch["doc_a"].to_pylist(),
-            batch["doc_b"].to_pylist(),
-            batch["grams_a"].to_pylist(),
-            batch["grams_b"].to_pylist(),
-        ):
-            va = np.frombuffer(ga, dtype=np.float64)
-            vb = np.frombuffer(gb, dtype=np.float64)
-            cos = float(va @ vb)
-            if cos >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_c.append(int(np.floor(cos * 1e4 + 0.5)))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_e4": pa.array([], type=pa.int64()),
+                }
+            )
+        Ga = _bin_matrix(batch["grams_a"])
+        Gb = _bin_matrix(batch["grams_b"])
+        cos = np.einsum("ij,ij->i", Ga, Gb)
+        keep = cos >= threshold
         return pa.table(
             {
-                "vec_a": pa.array(out_a, type=pa.int64()),
-                "vec_b": pa.array(out_b, type=pa.int64()),
-                "cos_e4": pa.array(out_c, type=pa.int64()),
+                "vec_a": pa.array(
+                    batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "vec_b": pa.array(
+                    batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "cos_e4": pa.array(
+                    np.floor(cos[keep] * 1e4 + 0.5).astype(np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 
