@@ -106,7 +106,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     corpus = ensure_corpus(sf_dir, KG_REPEAT)
 
     def kg_from_corpus(_sd):
-        pages = rd.read_parquet(corpus, override_num_blocks=max(64, num_cpus * 4))
+        # prune at the read: the fused extractor re-derives text from
+        # html, so the corpus' reference text column (kept for the
+        # byte-identity invariant) would be dead bytes in every block
+        pages = rd.read_parquet(
+            corpus,
+            columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=max(64, num_cpus * 4),
+        )
         return build_kg(pages, batch_size=512).triples
 
     qs = dict(entrymod.queries())
