@@ -167,25 +167,43 @@ def run_scaling(sf_dir: str) -> dict:
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    def _settle() -> None:
+        # a leg's raylet occasionally outlives its driver; a stray
+        # worker from the previous leg contaminates the next timing
+        # (measured: a 90 s 32-cpu leg read 162 s with leftovers)
+        subprocess.run(
+            ["ray", "stop", "--force"], capture_output=True, text=True
+        )
+        time.sleep(3.0)
+
+    runs_per_leg = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
     results = {}
     for n in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single"],
-            env={
-                **os.environ,
-                "GRAFT_SF_DIR": sf_dir,
-                "RAY_GRAFT_CPUS": str(n),
-                "GRAFT_BENCH_QUERIES": os.environ.get(
-                    "GRAFT_BENCH_QUERIES", "kg_triples"
-                ),
-                "GRAFT_KG_REPEAT": str(SCALING_REPEAT),
-            },
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+        best = None
+        for _ in range(runs_per_leg):
+            _settle()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single"],
+                env={
+                    **os.environ,
+                    "GRAFT_SF_DIR": sf_dir,
+                    "RAY_GRAFT_CPUS": str(n),
+                    "GRAFT_BENCH_QUERIES": os.environ.get(
+                        "GRAFT_BENCH_QUERIES", "kg_triples"
+                    ),
+                    "GRAFT_KG_REPEAT": str(SCALING_REPEAT),
+                },
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            # min wall-time per leg: single-node timing noise is
+            # one-sided (contention only ever slows a run down)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[n] = best
     tp = {n: 1.0 / results[n]["value"] for n in (lo, hi)}
     eff = (tp[hi] / tp[lo]) / (hi / lo)
     return {

@@ -323,12 +323,12 @@ def extract_mentions(
         # a FIXED pool: autoscaling ramps from min and on a short phase
         # never reaches cluster width, flattening CPU scaling; the
         # extractor's __init__ is cheap so spawning all actors up front
-        # costs little. Use ~3/4 of the cluster: the upstream read/synth
-        # tasks need real CPU share too — a pool equal to cluster width
-        # starves them and the pipeline stalls; 2 leftover CPUs starve
-        # the READ instead and the actors idle.
+        # costs little. Leave 2 CPUs for the (column-pruned) read: a
+        # pool equal to cluster width starves the read and the pipeline
+        # STALLS outright (measured: conc=32/32 never finished where
+        # conc=30 took 45 s at 5M pages; 24 → 30 actors = 52 → 45 s).
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(2, (n * 3) // 4)
+        concurrency = max(2, n - 2)
     return docs_ds.map_batches(
         extractor_cls or MentionExtractor,
         fn_constructor_kwargs={"cfg": cfg, **(extractor_kwargs or {})},

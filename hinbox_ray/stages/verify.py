@@ -203,7 +203,12 @@ def write_review_queue(verdicts_ds, path: str) -> int:
     """DEFER rows → JSONL review queue (reference S9). Returns count."""
     import json
 
-    deferred = verdicts_ds.filter(lambda r: r["verdict"] == DEFER)
+    import pyarrow.compute as _pc
+
+    deferred = verdicts_ds.map_batches(
+        lambda b: b.filter(_pc.equal(b["verdict"], DEFER)),
+        batch_format="pyarrow",
+    )
     n = 0
     # streamed: dispute volume is corpus-correlated under a real checker,
     # so the queue is drained block-by-block, never fully materialized
