@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
         "embedding_neardup_lsh": T.embedding_neardup_lsh,
+        # --- corpus curation (split / domain stats / sequence packing)
+        "doc_split_assign": T.doc_split_assign,
+        "corpus_domain_stats": T.corpus_domain_stats,
+        "doc_pack_sequences": T.doc_pack_sequences,
         # --- windowed / per-group operators
         "events_sessionize": A.events_sessionize,
         "events_asof_last_error": A.events_asof_last_error,
@@ -338,6 +342,39 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
                      AS n_pieces
             FROM documents
+        """,
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                            THEN 'test'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                            THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "corpus_domain_stats": """
+            SELECT source,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_chars,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+            FROM documents
+            GROUP BY source
+            ORDER BY source
+        """,
+        "doc_pack_sequences": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) // 2048 AS BIGINT) AS pack_id
+            FROM toks ORDER BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (

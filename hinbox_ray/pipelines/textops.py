@@ -47,7 +47,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.minhash import MinHasher
 
@@ -1335,3 +1335,155 @@ def doc_wordpiece_count(sf_dir: str) -> ray.data.Dataset:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation operators (train-split assignment, per-domain stats,
+# token-offset sequence packing)
+
+
+def doc_split_assign(
+    sf_dir: str, *, test_buckets: int = 13, val_buckets: int = 13
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment per document.
+
+    The split key is the first byte of md5(doc_id-as-string) — content-
+    independent, engine-independent, and stable under corpus growth (a
+    doc never changes split when other docs are added/removed, unlike
+    ratio-based row_number splits). Default 13/256 ≈ 5.1% each for test
+    and val. Stateless map_batches — embarrassingly parallel; the md5
+    per row IS the useful compute (the same hash the exact-dedup stage
+    computes). The oracle compares the hex prefix lexicographically, so
+    both engines share one total order with no hex→int parsing.
+    """
+    t_hi = f"{test_buckets:02x}"
+    v_hi = f"{test_buckets + val_buckets:02x}"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pref = [
+            hashlib.md5(str(int(i)).encode("utf-8")).hexdigest()[:2]
+            for i in ids
+        ]
+        split = [
+            "test" if p < t_hi else ("val" if p < v_hi else "train")
+            for p in pref
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def corpus_domain_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus curation stats: docs, bytes, English share.
+
+    The combiner pattern: every batch pre-aggregates to one row per
+    source BEFORE the shuffle (source cardinality is the domain list,
+    not the corpus), so only (source, 3×int64) rows cross the exchange.
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = _pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+                "is_en": (
+                    batch["lang"].to_numpy(zero_copy_only=False) == "en"
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", sort=True)
+        out = g.agg(
+            n_docs=("n_chars", "size"),
+            total_chars=("n_chars", "sum"),
+            n_en=("is_en", "sum"),
+        ).reset_index()
+        for c in ("n_docs", "total_chars", "n_en"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars", "lang"])
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_en", alias_name="n_en"),
+        )
+        .sort("source")
+    )
+
+
+def doc_pack_sequences(
+    sf_dir: str, *, window: int = 2048, bucket_rows: int = 4096
+) -> ray.data.Dataset:
+    """Token-offset sequence packing: assign each doc (in doc_id order)
+    to the training pack its first token lands in, given fixed
+    ``window``-token packs over the concatenated corpus.
+
+    Exact global prefix-sum in two distributed passes (the same shape
+    as the exact 2-pass quantiles): pass 1 tokenizes once and emits the
+    calendar-thin (bucket, doc_id, n_tokens) rows, bucket =
+    doc_id // bucket_rows; the per-bucket token totals (corpus/bucket_rows
+    rows — driver-scale by construction; raise ``bucket_rows`` for
+    bigger corpora) come back to the driver for one cumulative sum, and
+    the broadcast offsets let each bucket finish its docs independently:
+    global prefix = bucket offset + within-bucket cumsum. One groupby
+    shuffle of int64 triples; text is read and tokenized exactly once.
+    """
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = [len(_tokens(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "bucket": pa.array(ids // bucket_rows, type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(toks, batch_format="pyarrow")
+        .materialize()
+    )
+    per_bucket = counts.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="tok_sum")
+    )
+    bdf = per_bucket.to_pandas().sort_values("bucket")
+    offsets = dict(
+        zip(
+            bdf["bucket"].to_numpy(),
+            np.concatenate([[0], np.cumsum(bdf["tok_sum"].to_numpy())[:-1]]),
+        )
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        start = offsets[int(g["bucket"].iloc[0])] + (
+            np.concatenate([[0], np.cumsum(nt)[:-1]])
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "n_tokens": nt.astype(np.int64),
+                "pack_id": (start // window).astype(np.int64),
+            }
+        )
+
+    return (
+        counts.groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+        .sort("doc_id")
+    )
