@@ -80,6 +80,22 @@ class MinHasher:
             keys.append(f"{band}:{digest}")
         return keys
 
+    def band_keys_u64(self, sig: np.ndarray, num_bands: int) -> np.ndarray:
+        """Vectorized int63 LSH band keys: FNV-1a folded over each
+        band's signature rows, salted by band index — the same banding
+        structure as ``band_keys`` (two docs collide in band t iff that
+        band's rows are equal, modulo negligible 63-bit collisions)
+        with no per-band digest call and an int64 shuffle key instead
+        of a hex string."""
+        rows = self.num_perm // num_bands
+        M = sig[: rows * num_bands].reshape(num_bands, rows).astype(np.uint64)
+        h = np.full(num_bands, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for r in range(rows):
+            h = (h ^ M[:, r]) * prime
+        h ^= np.arange(num_bands, dtype=np.uint64) << np.uint64(53)
+        return (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
 
 def jaccard(a: Sequence[str], b: Sequence[str]) -> float:
     sa: Set[str] = set(a)

@@ -292,6 +292,7 @@ _NUM_PERM = 128
 # stays negligible; per-bucket caps + drop logging guard the tail.
 _NUM_BANDS = 64
 _PAIR_CAP = 2000  # per-bucket pair cap bounds O(n²) blowup on hot buckets
+_BAND_SHUFFLE_BUCKETS = 512  # coarse shuffle groups for band-key grouping
 
 _log = __import__("logging").getLogger("hinbox_ray.textops")
 
@@ -348,12 +349,21 @@ class _SignatureStage:
             ) % np.uint64((1 << 61) - 1)
             sig = prod.min(axis=1)
             doc_ids.append(doc_id)
-            bands.append(self.hasher.band_keys(sig, _NUM_BANDS))
+            bands.append(self.hasher.band_keys_u64(sig, _NUM_BANDS))
             grams.append(gh)
+        flat = (
+            np.concatenate(bands)
+            if bands
+            else np.array([], dtype=np.int64)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "bands": pa.array(bands, type=pa.list_(pa.string())),
+                # int64 band keys as one fixed-size-list column: the
+                # downstream shuffle moves ints, not hex strings
+                "bands": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, type=pa.int64()), _NUM_BANDS
+                ),
                 # binary blobs (sorted uint64 LE bytes): pyarrow's hash
                 # join rejects list-typed payload columns, binary is fine
                 "grams": pa.array([g.tobytes() for g in grams], type=pa.binary()),
@@ -518,52 +528,88 @@ def doc_minhash_neardup(
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, ids = [], []
-        for doc_id, bands in zip(
-            batch["doc_id"].to_pylist(), batch["bands"].to_pylist()
-        ):
-            for bk in bands:
-                keys.append(bk)
-                ids.append(doc_id)
+        col = batch["bands"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[col.offset * _NUM_BANDS : (col.offset + len(col)) * _NUM_BANDS]
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            _NUM_BANDS,
+        )
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.string()),
+                # shuffle on a COARSE bucket of the band key, not the
+                # key itself: distinct band keys are corpus-scale (most
+                # bands are singletons) and one Ray group per key pays
+                # ~0.4 ms fixed cost — measured 186 s for 30k docs.
+                # ~512 groups regardless of corpus size; bands are
+                # re-grouped vectorized inside the kernel.
+                "bucket": pa.array(flat % _BAND_SHUFFLE_BUCKETS, type=pa.int64()),
+                "band_key": pa.array(flat, type=pa.int64()),
                 "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        out_a, out_b = [], []
-        total = len(ids) * (len(ids) - 1) // 2
-        n = 0
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                n += 1
-                if n >= _PAIR_CAP:
+        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="mergesort"
+        )
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = len(keys)
+        empty = pd.DataFrame(
+            {
+                # explicit dtype: an empty frame would otherwise infer
+                # object and poison the downstream co-group
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+            }
+        )
+        if n == 0:
+            return empty
+        start = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        sizes = np.diff(np.concatenate([start, [n]]))
+        outs_a, outs_b = [], []
+        # size-2 bands — the overwhelmingly common candidate shape — in
+        # one vectorized shot
+        s2 = start[sizes == 2]
+        if len(s2):
+            outs_a.append(ids[s2])
+            outs_b.append(ids[s2 + 1])
+        for k in np.nonzero(sizes > 2)[0]:
+            st, m = int(start[k]), int(sizes[k])
+            bids = ids[st : st + m]
+            total = m * (m - 1) // 2
+            cnt = 0
+            a_l: list = []
+            b_l: list = []
+            for i in range(m):
+                for j in range(i + 1, m):
+                    a_l.append(bids[i])
+                    b_l.append(bids[j])
+                    cnt += 1
+                    if cnt >= _PAIR_CAP:
+                        break
+                if cnt >= _PAIR_CAP:
                     break
-            if n >= _PAIR_CAP:
-                break
-        if total > n:
-            _log_dropped_pairs(
-                str(group["band_key"].iloc[0]) if len(group) else "?", total - n
-            )
-        # explicit dtype: an empty list would otherwise infer object and
-        # poison the downstream hash join (pyarrow scalar hashes include
-        # the type, so one drifted block misroutes every row in it)
+            if total > cnt:
+                _log_dropped_pairs(str(int(keys[st])), total - cnt)
+            outs_a.append(np.array(a_l, dtype=np.int64))
+            outs_b.append(np.array(b_l, dtype=np.int64))
+        if not outs_a:
+            return empty
         return pd.DataFrame(
             {
-                "doc_a": np.array(out_a, dtype=np.int64),
-                "doc_b": np.array(out_b, dtype=np.int64),
+                "doc_a": np.concatenate(outs_a),
+                "doc_b": np.concatenate(outs_b),
             }
         )
 
     cands = (
         sigs.select_columns(["doc_id", "bands"])
         .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     with_a = _attach_grams(cands, sigs, "doc_a", dedup=True)
@@ -1176,41 +1222,69 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        keys, ids, sims = [], [], []
-        for doc_id, sh in zip(
-            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
-        ):
-            for band in range(4):
-                chunk = (sh >> (band * 16)) & 0xFFFF
-                keys.append(f"{band}:{chunk:04x}")
-                ids.append(doc_id)
-                sims.append(sh)
+        shs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        # int64 band key = (band << 16) | 16-bit chunk, fully vectorized
+        keys = np.concatenate(
+            [
+                (np.uint64(band) << np.uint64(16))
+                | ((shs >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+                for band in range(4)
+            ]
+        ).astype(np.int64)
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.string()),
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "simhash": pa.array(sims, type=pa.uint64()),
+                # coarse shuffle bucket, not the raw band key: distinct
+                # keys are corpus-scale (≤ 4·2^16 here but one Ray group
+                # per key pays ~0.4 ms — the same pathology fixed in the
+                # minhash path); bands re-group inside the kernel
+                "bucket": pa.array(keys % _BAND_SHUFFLE_BUCKETS, type=pa.int64()),
+                "band_key": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+                "simhash": pa.array(np.tile(shs, 4), type=pa.uint64()),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        shs = rows["simhash"].to_numpy()
+        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="mergesort"
+        )
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        shs = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(keys)
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "hamming": np.array([], dtype=np.int64),
+            }
+        )
+        if n == 0:
+            return empty
+        start = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        sizes = np.diff(np.concatenate([start, [n]]))
         out_a, out_b, out_h = [], [], []
-        n = min(len(ids), 200)  # per-bucket cap (hot 16-bit buckets)
-        if len(ids) > n:
-            _log_dropped_pairs(
-                str(group["band_key"].iloc[0]) if len(group) else "?",
-                len(ids) * (len(ids) - 1) // 2 - n * (n - 1) // 2,
-            )
-        for i in range(n):
-            for j in range(i + 1, n):
-                h = bin(int(shs[i]) ^ int(shs[j])).count("1")
-                if h <= max_hamming:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(h)
+        for k in np.nonzero(sizes > 1)[0]:
+            st, m = int(start[k]), int(sizes[k])
+            cap = min(m, 200)  # per-band cap (hot 16-bit buckets)
+            if m > cap:
+                _log_dropped_pairs(
+                    str(int(keys[st])),
+                    m * (m - 1) // 2 - cap * (cap - 1) // 2,
+                )
+            bids = ids[st : st + cap]
+            bshs = shs[st : st + cap]
+            for i in range(cap):
+                for j in range(i + 1, cap):
+                    h = bin(int(bshs[i]) ^ int(bshs[j])).count("1")
+                    if h <= max_hamming:
+                        out_a.append(int(bids[i]))
+                        out_b.append(int(bids[j]))
+                        out_h.append(h)
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
                 "doc_a": np.array(out_a, dtype=np.int64),
@@ -1219,17 +1293,30 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             }
         )
 
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["dbucket"])
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = (
         ds.map_batches(sig, batch_format="pyarrow")
         .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # same pair can surface from several bands → global dedup
+
+    def add_dbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dbucket"] = (
+            df["doc_a"].astype(np.int64) % _BAND_SHUFFLE_BUCKETS
+        ).to_numpy()
+        return df
+
+    # same pair can surface from several bands → global dedup, bucketed
+    # by doc_a (all copies of a pair share doc_a, so the dedup is exact)
     return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        pairs.map_batches(add_dbucket, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
         .sort(["doc_a", "doc_b"])
     )
 
