@@ -415,11 +415,13 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
             }
         )
 
+    from ..stages.cogroup import bucketed_map_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    return (
-        ds.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
-        .sort(["user_id", "session_idx"])
+    # user ids are corpus-scale: bucketed grouping (O(buckets) Ray
+    # groups, per-user kernel re-grouped inside — cogroup helper)
+    return bucketed_map_groups(ds, "user_id", sessionize).sort(
+        ["user_id", "session_idx"]
     )
 
 
@@ -443,12 +445,12 @@ def orders_top3_per_customer(sf_dir: str, max_custkey: int = 100) -> ray.data.Da
         g["rank"] = range(1, len(g) + 1)
         return g
 
-    return (
-        ds.map_batches(fil, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["o_custkey", "rank"])
-    )
+    from ..stages.cogroup import bucketed_map_groups
+
+    # customer keys are corpus-scale: bucketed grouping (cogroup helper)
+    return bucketed_map_groups(
+        ds.map_batches(fil, batch_format="pyarrow"), "o_custkey", topk
+    ).sort(["o_custkey", "rank"])
 
 
 def supplier_count_by_nation(sf_dir: str) -> ray.data.Dataset:
@@ -538,11 +540,11 @@ def events_asof_last_error(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from ..stages.cogroup import bucketed_map_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-    return (
-        ds.groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
-        .sort(["user_id", "event_id"])
+    return bucketed_map_groups(ds, "user_id", asof).sort(
+        ["user_id", "event_id"]
     )
 
 
@@ -582,11 +584,11 @@ def events_trailing_count(sf_dir: str, window_s: int = 300) -> ray.data.Dataset:
             }
         )
 
+    from ..stages.cogroup import bucketed_map_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-    return (
-        ds.groupby("user_id")
-        .map_groups(trailing, batch_format="pandas")
-        .sort(["user_id", "event_id"])
+    return bucketed_map_groups(ds, "user_id", trailing).sort(
+        ["user_id", "event_id"]
     )
 
 

@@ -133,10 +133,12 @@ def canonical_entities(
     entity cluster, and this Ray build misroutes pandas-block joins in
     some interpreters. Singletons default to component = own node_id.
     """
-    from .cogroup import attach_component
+    from .cogroup import attach_component, bucketed_map_groups
 
     joined = attach_component(raw_entities_ds, components_ds)
-    return joined.groupby("component").map_groups(_elect, batch_format="pandas")
+    # components are vocabulary-scale (most are singletons): bucketed
+    # grouping, the per-component election re-grouped inside the bucket
+    return bucketed_map_groups(joined, "component", _elect)
 
 
 def node_map(entities_ds):
@@ -308,14 +310,28 @@ def mention_triples(
         deduped = joined
     else:
         # distinct across name variants: two nodes in one doc can resolve
-        # to one entity. Dedup groups by (entity, salt) — duplicates
-        # share the url, urls share the salt, so the dedup is exact
-        # while hot entities still spread over n_salts reduce tasks
-        # (skew handling). Grouping by the (subj, obj) pair instead
-        # would make one tiny group per distinct pair and per-group
-        # overhead dominates (~40s at sf0.1×20).
-        deduped = joined.groupby(["entity_id", "salt"]).map_groups(
-            lambda g: g.drop_duplicates("url"), batch_format="pandas"
+        # to one entity. Buckets key on (entity, salt) — duplicates
+        # share the url, urls share the salt, so every copy of an
+        # (entity, url) pair lands in one bucket and the whole-bucket
+        # drop_duplicates is exact, while hot entities still spread
+        # over n_salts buckets (skew handling) and Ray groups stay
+        # O(n_buckets) (see cogroup.bucketed_map_groups).
+        from .cogroup import key_buckets
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_dbucket"] = key_buckets(df, ["entity_id", "salt"], 512)
+            return df
+
+        deduped = (
+            joined.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_dbucket")
+            .map_groups(
+                lambda g: g.drop_duplicates(["entity_id", "url"]).drop(
+                    columns=["_dbucket"]
+                ),
+                batch_format="pandas",
+            )
         )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:

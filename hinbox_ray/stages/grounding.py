@@ -134,11 +134,13 @@ def verify_claims(claims_ds, docs_ds):
             }
         )
 
+    from .cogroup import bucketed_map_groups
+
     left = claims_ds.map_batches(tag_claims, batch_format="pandas")
     right = docs_ds.map_batches(tag_docs, batch_format="pandas")
-    return left.union(right).groupby("article_id").map_groups(
-        resolve, batch_format="pandas"
-    )
+    # article ids are corpus-scale: bucketed grouping (see
+    # cogroup.bucketed_map_groups), per-article verify inside the bucket
+    return bucketed_map_groups(left.union(right), "article_id", resolve)
 
 
 def _fold_reports(g: pd.DataFrame, min_grounding_score: float) -> pd.DataFrame:
@@ -229,8 +231,12 @@ def ground_profiles(
 
     claims = fresh_profiles.map_batches(_explode_claims, batch_format="pandas")
     supports = verify_claims(claims, docs_ds)
-    reports = supports.groupby("entity_id").map_groups(
-        lambda g: _fold_reports(g, min_grounding_score), batch_format="pandas"
+    from .cogroup import bucketed_map_groups
+
+    reports = bucketed_map_groups(
+        supports,
+        "entity_id",
+        lambda g: _fold_reports(g, min_grounding_score),
     )
 
     # entities whose profile cites nothing still get a no_citations row

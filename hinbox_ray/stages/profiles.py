@@ -132,10 +132,12 @@ def _article_lists(mentions_ds, node_map_df: pd.DataFrame, max_versions: int):
             }
         )
 
+    from .cogroup import bucketed_map_groups
+
     combined = mentions_ds.map_batches(combine, batch_format="pandas")
-    return combined.groupby("entity_id").map_groups(
-        reduce_group, batch_format="pandas"
-    )
+    # entity ids are vocabulary-scale: bucketed grouping (see
+    # cogroup.bucketed_map_groups), per-entity reduce inside the bucket
+    return bucketed_map_groups(combined, "entity_id", reduce_group)
 
 
 def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
@@ -222,11 +224,11 @@ def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
             }
         )
 
+    from .cogroup import bucketed_map_groups
+
     left = entities_ds.map_batches(tag_ent, batch_format="pandas")
     right = articles.map_batches(tag_art, batch_format="pandas")
-    return left.union(right).groupby("entity_id").map_groups(
-        build, batch_format="pandas"
-    )
+    return bucketed_map_groups(left.union(right), "entity_id", build)
 
 
 def profiles_from_sf(sf_dir: str, *, max_versions: int = 8):

@@ -228,11 +228,18 @@ def _regroup(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def raw_entities(mentions_ds):
-    """mentions → one row per distinct entity key (vocabulary scale)."""
+    """mentions → one row per distinct entity key (vocabulary scale).
+
+    Bucketed grouping: one Ray group per hash bucket of the key, with
+    the per-key ``_regroup`` reduction re-grouped by pandas inside —
+    the key space is the vocabulary, and one Ray group per key would
+    pay ~0.4 ms fixed cost each (see cogroup.bucketed_map_groups)."""
+    from .cogroup import bucketed_map_groups
+
     combined = mentions_ds.map_batches(
         _combine_batch, batch_format="pandas", batch_size=4096
     )
-    return combined.groupby(_KEY_COLS).map_groups(_regroup, batch_format="pandas")
+    return bucketed_map_groups(combined, _KEY_COLS, _regroup)
 
 
 # ──────────────────────────────────────────────
@@ -375,15 +382,33 @@ def candidate_pairs(raw_entities_ds, cfg: Optional[DomainConfig] = None):
     """raw entities → deduped candidate pair rows WITH metadata (the
     verifier's input). SHUFFLE #1: groupby(block_key); SHUFFLE #2
     (small): pair dedup — a pair can surface from several blocks."""
+    from .cogroup import bucketed_map_groups, key_buckets
+
     cfg = cfg or DomainConfig()
     exploded = raw_entities_ds.map_batches(
         lambda df: _explode_blocking(df, cfg), batch_format="pandas"
     )
-    pairs = exploded.groupby("block_key").map_groups(
-        lambda g: _block_pair_rows(g, cfg), batch_format="pandas"
+    # blocking keys are vocabulary-scale (most blocks tiny) → bucketed
+    # grouping, per-block kernel re-grouped inside the bucket task
+    pairs = bucketed_map_groups(
+        exploded, "block_key", lambda g: _block_pair_rows(g, cfg)
     )
-    return pairs.groupby(["u", "v"]).map_groups(
-        _dedupe_edges, batch_format="pandas"
+
+    # pair dedup: all copies of (u, v) share u, so bucketing by the
+    # pair key is exact and the kernel is ONE vectorized
+    # drop_duplicates per bucket — never one Ray group per pair
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pbucket"] = key_buckets(df, ["u", "v"], 512)
+        return df
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"]).drop(columns=["_pbucket"])
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pbucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
 
 
