@@ -374,10 +374,6 @@ def _block_pair_rows(df: pd.DataFrame, cfg: DomainConfig) -> pd.DataFrame:
     return res
 
 
-def _dedupe_edges(df: pd.DataFrame) -> pd.DataFrame:
-    return df.head(1)
-
-
 def candidate_pairs(raw_entities_ds, cfg: Optional[DomainConfig] = None):
     """raw entities → deduped candidate pair rows WITH metadata (the
     verifier's input). SHUFFLE #1: groupby(block_key); SHUFFLE #2
