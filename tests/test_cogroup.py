@@ -81,3 +81,47 @@ def test_attach_entity_id_inner_semantics(ray_session):
     pairs = set(zip(out.entity_id, out.url))
     # node 3 has no mapping → dropped (inner); 1 keeps both urls
     assert pairs == {("e:a", "u1"), ("e:a", "u2"), ("e:b", "u3")}
+
+
+def test_bucketed_map_groups_matches_plain_groupby(ray_session):
+    """The bucketed shuffle must be semantically identical to one Ray
+    group per key — same groups, same kernel outputs — while creating
+    only O(n_buckets) Ray groups."""
+    import ray.data as rd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, 700).astype(np.int64),
+            "k2": rng.choice(list("abcd"), 700),
+            "v": rng.integers(0, 100, 700).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": np.array([g["k"].iloc[0]], dtype=np.int64),
+                "k2": [str(g["k2"].iloc[0])],
+                "s": np.array([int(g["v"].sum())], dtype=np.int64),
+                "n": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    got = (
+        bucketed_map_groups(ds, ["k", "k2"], kernel, n_buckets=7)
+        .to_pandas()
+        .sort_values(["k", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k", "k2"], sort=True)
+        .apply(kernel, include_groups=True)
+        .reset_index(drop=True)
+        .sort_values(["k", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
