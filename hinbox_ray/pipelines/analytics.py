@@ -447,7 +447,10 @@ def orders_top3_per_customer(sf_dir: str, max_custkey: int = 100) -> ray.data.Da
 
     from ..stages.cogroup import bucketed_map_groups
 
-    # customer keys are corpus-scale: bucketed grouping (cogroup helper)
+    # bucketed for the general max_custkey: the default filter caps the
+    # key space at 100 (plain groupby would be fine there) but the
+    # operator is the per-group-top-k building block and must not
+    # degrade to one Ray group per customer when the cap is raised
     return bucketed_map_groups(
         ds.map_batches(fil, batch_format="pyarrow"), "o_custkey", topk
     ).sort(["o_custkey", "rank"])

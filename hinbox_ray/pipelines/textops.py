@@ -1122,40 +1122,71 @@ def embedding_neardup_lsh(
         )
         return pa.table(
             {
+                # coarse shuffle bucket, not the raw band key (the
+                # engine-wide bucketed-grouping invariant: distinct
+                # keys grow with n_tables × 2^n_bits, and one Ray
+                # group per key pays ~0.4 ms fixed cost)
+                "bucket": pa.array(flat % _BAND_SHUFFLE_BUCKETS, type=pa.int64()),
                 "band_key": pa.array(flat, type=pa.int64()),
                 "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        out_a, out_b = [], []
-        total = len(ids) * (len(ids) - 1) // 2
-        n = 0
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                n += 1
-                if n >= bucket_cap:
+        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="mergesort"
+        )
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = len(keys)
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+            }
+        )
+        if n == 0:
+            return empty
+        start = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        sizes = np.diff(np.concatenate([start, [n]]))
+        outs_a, outs_b = [], []
+        s2 = start[sizes == 2]  # two-member bands vectorized
+        if len(s2):
+            outs_a.append(ids[s2])
+            outs_b.append(ids[s2 + 1])
+        for k in np.nonzero(sizes > 2)[0]:
+            st, m = int(start[k]), int(sizes[k])
+            bids = ids[st : st + m]
+            total = m * (m - 1) // 2
+            cnt = 0
+            a_l: list = []
+            b_l: list = []
+            for i in range(m):
+                for j in range(i + 1, m):
+                    a_l.append(bids[i])
+                    b_l.append(bids[j])
+                    cnt += 1
+                    if cnt >= bucket_cap:
+                        break
+                if cnt >= bucket_cap:
                     break
-            if n >= bucket_cap:
-                break
-        if total > n:
-            _log_dropped_pairs(
-                str(group["band_key"].iloc[0]) if len(group) else "?", total - n
-            )
+            if total > cnt:
+                _log_dropped_pairs(str(int(keys[st])), total - cnt)
+            outs_a.append(np.array(a_l, dtype=np.int64))
+            outs_b.append(np.array(b_l, dtype=np.int64))
+        if not outs_a:
+            return empty
         return pd.DataFrame(
             {
-                "doc_a": np.array(out_a, dtype=np.int64),
-                "doc_b": np.array(out_b, dtype=np.int64),
+                "doc_a": np.concatenate(outs_a),
+                "doc_b": np.concatenate(outs_b),
             }
         )
 
     cands = (
         sigs.select_columns(["doc_id", "bands"])
         .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     with_a = _attach_grams(cands, sigs, "doc_a", dedup=True)
@@ -1293,8 +1324,7 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             }
         )
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["dbucket"])
+    from ..stages.cogroup import bucketed_drop_duplicates
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = (
@@ -1303,21 +1333,9 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    def add_dbucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["dbucket"] = (
-            df["doc_a"].astype(np.int64) % _BAND_SHUFFLE_BUCKETS
-        ).to_numpy()
-        return df
-
-    # same pair can surface from several bands → global dedup, bucketed
-    # by doc_a (all copies of a pair share doc_a, so the dedup is exact)
-    return (
-        pairs.map_batches(add_dbucket, batch_format="pandas")
-        .groupby("dbucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
-        .sort(["doc_a", "doc_b"])
+    # same pair can surface from several bands → distributed exact dedup
+    return bucketed_drop_duplicates(pairs, ["doc_a", "doc_b"]).sort(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -1443,6 +1461,9 @@ def doc_split_assign(
     computes). The oracle compares the hex prefix lexicographically, so
     both engines share one total order with no hex→int parsing.
     """
+    # thresholds compare 2-hex-char prefixes lexicographically — only
+    # valid while both fit in one byte (f"{x:02x}" does NOT truncate)
+    assert 0 <= test_buckets and test_buckets + val_buckets <= 255
     t_hi = f"{test_buckets:02x}"
     v_hi = f"{test_buckets + val_buckets:02x}"
 
@@ -1520,9 +1541,13 @@ def doc_pack_sequences(
     Exact global prefix-sum in two distributed passes (the same shape
     as the exact 2-pass quantiles): pass 1 tokenizes once and emits the
     calendar-thin (bucket, doc_id, n_tokens) rows, bucket =
-    doc_id // bucket_rows; the per-bucket token totals (corpus/bucket_rows
-    rows — driver-scale by construction; raise ``bucket_rows`` for
-    bigger corpora) come back to the driver for one cumulative sum, and
+    doc_id // bucket_rows. PRECONDITION: doc_id is a (roughly) dense
+    0..N range — the documents-table convention here — so each bucket
+    holds ~``bucket_rows`` docs; with sparse/hashed ids use a
+    rank-based range partition instead, or the bucket count degrades
+    toward one per doc. The per-bucket token totals (corpus/bucket_rows
+    rows — driver-scale under the precondition; raise ``bucket_rows``
+    for bigger corpora) come back to the driver for one cumulative sum, and
     the broadcast offsets let each bucket finish its docs independently:
     global prefix = bucket offset + within-bucket cumsum. One groupby
     shuffle of int64 triples; text is read and tokenized exactly once.

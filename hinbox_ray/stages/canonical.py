@@ -309,29 +309,15 @@ def mention_triples(
         # distinctness finished by the caller after its sort
         deduped = joined
     else:
-        # distinct across name variants: two nodes in one doc can resolve
-        # to one entity. Buckets key on (entity, salt) — duplicates
-        # share the url, urls share the salt, so every copy of an
-        # (entity, url) pair lands in one bucket and the whole-bucket
-        # drop_duplicates is exact, while hot entities still spread
-        # over n_salts buckets (skew handling) and Ray groups stay
-        # O(n_buckets) (see cogroup.bucketed_map_groups).
-        from .cogroup import key_buckets
+        # distinct across name variants: two nodes in one doc can
+        # resolve to one entity. Bucketing on (entity, salt) is valid
+        # for dedup on (entity, url) because salt = f(url) — every
+        # copy of an (entity, url) pair lands in one bucket — while
+        # hot entities still spread over n_salts buckets (skew).
+        from .cogroup import bucketed_drop_duplicates
 
-        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_dbucket"] = key_buckets(df, ["entity_id", "salt"], 512)
-            return df
-
-        deduped = (
-            joined.map_batches(add_bucket, batch_format="pandas")
-            .groupby("_dbucket")
-            .map_groups(
-                lambda g: g.drop_duplicates(["entity_id", "url"]).drop(
-                    columns=["_dbucket"]
-                ),
-                batch_format="pandas",
-            )
+        deduped = bucketed_drop_duplicates(
+            joined, ["entity_id", "url"], bucket_cols=["entity_id", "salt"]
         )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:

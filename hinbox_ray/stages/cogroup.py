@@ -69,6 +69,36 @@ def bucketed_map_groups(ds, keys, kernel, *, n_buckets: int = 512):
         .map_groups(run_bucket, batch_format="pandas")
     )
 
+
+def bucketed_drop_duplicates(ds, dedup_cols, *, bucket_cols=None, n_buckets=512):
+    """Distributed ``drop_duplicates(dedup_cols)`` with O(n_buckets) Ray
+    groups and ONE vectorized pandas dedup per bucket — never one group
+    per distinct row.
+
+    Exactness requires every copy of a duplicate row to land in the
+    same bucket: ``bucket_cols`` (default: ``dedup_cols``) must be
+    DETERMINED BY the dedup key — a subset of it, or a function of it
+    (e.g. bucketing on (entity_id, salt) where salt = f(url) is valid
+    for dedup on (entity_id, url))."""
+    bucket_cols = list(bucket_cols or (
+        [dedup_cols] if isinstance(dedup_cols, str) else dedup_cols
+    ))
+    dd_cols = [dedup_cols] if isinstance(dedup_cols, str) else list(dedup_cols)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_dbucket"] = key_buckets(df, bucket_cols, n_buckets)
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(dd_cols).drop(columns=["_dbucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_dbucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
 # raw-entity column order (resolve._reduce_mention_group output + node_id)
 RAW_COLS = [
     "entity_type",
@@ -145,11 +175,21 @@ def attach_component(raw_ds, comps_ds, *, n_buckets: int = 512):
             out = rows.copy()
             out["component"] = pd.Series(dtype=np.int64)
             return out
-        out = rows.merge(maps, on="node_id", how="left")
-        nid = out["node_id"].astype(np.int64)
-        out["component"] = (
-            out["component"].fillna(nid).astype(np.int64)
-        )
+        # INT-EXACT left lookup: a merge + fillna would pass the int64
+        # component column through float64 (NaN for singletons), and
+        # 63-bit ids lose precision above 2^53 — silently merging
+        # unrelated clusters. get_indexer keeps everything integral.
+        out = rows.copy()
+        nid = out["node_id"].astype(np.int64).to_numpy()
+        if maps.empty:
+            out["component"] = nid
+            return out
+        idx = pd.Index(maps["node_id"].astype(np.int64).to_numpy())
+        pos = idx.get_indexer(nid)  # -1 where the node has no edge row
+        comp = maps["component"].astype(np.int64).to_numpy()
+        out["component"] = np.where(
+            pos >= 0, comp[np.maximum(pos, 0)], nid
+        ).astype(np.int64)
         return out
 
     left = raw_ds.map_batches(tag_left, batch_format="pandas")

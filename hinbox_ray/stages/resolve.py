@@ -378,7 +378,7 @@ def candidate_pairs(raw_entities_ds, cfg: Optional[DomainConfig] = None):
     """raw entities → deduped candidate pair rows WITH metadata (the
     verifier's input). SHUFFLE #1: groupby(block_key); SHUFFLE #2
     (small): pair dedup — a pair can surface from several blocks."""
-    from .cogroup import bucketed_map_groups, key_buckets
+    from .cogroup import bucketed_drop_duplicates, bucketed_map_groups
 
     cfg = cfg or DomainConfig()
     exploded = raw_entities_ds.map_batches(
@@ -389,23 +389,8 @@ def candidate_pairs(raw_entities_ds, cfg: Optional[DomainConfig] = None):
     pairs = bucketed_map_groups(
         exploded, "block_key", lambda g: _block_pair_rows(g, cfg)
     )
-
-    # pair dedup: all copies of (u, v) share u, so bucketing by the
-    # pair key is exact and the kernel is ONE vectorized
-    # drop_duplicates per bucket — never one Ray group per pair
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_pbucket"] = key_buckets(df, ["u", "v"], 512)
-        return df
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["u", "v"]).drop(columns=["_pbucket"])
-
-    return (
-        pairs.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_pbucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
-    )
+    # a pair can surface from several blocks → distributed exact dedup
+    return bucketed_drop_duplicates(pairs, ["u", "v"])
 
 
 def candidate_edges(

@@ -125,3 +125,40 @@ def test_bucketed_map_groups_matches_plain_groupby(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_attach_component_63bit_ids_exact(ray_session):
+    """Component ids are 63-bit siphashes; the left-attach must stay
+    integer-exact (a float64 NaN/fillna path rounds above 2^53 and
+    merges unrelated clusters — regression for exactly that)."""
+    import ray.data as rd
+
+    from hinbox_ray.stages.cogroup import RAW_COLS, attach_component
+
+    base = np.int64(1) << np.int64(62)
+    nids = base + np.array([1025, 1027, 1029], dtype=np.int64)
+
+    raw = pd.DataFrame({c: ["x"] * 3 for c in RAW_COLS if c != "node_id"})
+    raw["n_mentions"] = np.int64(1)
+    raw["first_ord"] = np.int64(0)
+    raw["first_ts"] = pd.Timestamp("2024-01-01")
+    raw["node_id"] = nids
+    comps = pd.DataFrame(
+        {
+            # the two linked nodes share a component; third is singleton
+            "node_id": nids[:2],
+            "component": np.array([nids[0], nids[0]], dtype=np.int64),
+        }
+    )
+    out = (
+        attach_component(rd.from_pandas(raw), rd.from_pandas(comps))
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    assert out["component"].dtype == np.int64
+    assert out["component"].tolist() == [
+        int(nids[0]),
+        int(nids[0]),
+        int(nids[2]),  # singleton keeps its own 63-bit id, bit-exact
+    ]
