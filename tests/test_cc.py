@@ -81,6 +81,26 @@ def test_matches_driver_union_find(ray_session):
     assert got == drv
 
 
+def test_dataset_native_path_forced_scale(ray_session):
+    """≥100k edges through the bucketed shuffle rounds (threshold=0)
+    must match the driver union-find exactly — pins the scale path the
+    flagship relies on above small_edge_threshold."""
+    import ray.data as rd
+
+    from hinbox_ray.stages.cc import components_driver, connected_components
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 80_000, 120_000).astype(np.int64)
+    v = rng.integers(0, 80_000, 120_000).astype(np.int64)
+    m = u != v
+    edges = rd.from_pandas(pd.DataFrame({"u": u[m], "v": v[m]})).materialize()
+    comps = connected_components(edges, small_edge_threshold=0).to_pandas()
+    truth = components_driver(edges)
+    got = dict(zip(comps.node_id, comps.component))
+    assert got == truth
+    assert len(got) == len(truth)
+
+
 def test_dataset_native_path_dense_and_chain(ray_session):
     """Force the shuffle-round path (threshold=0) on graphs that broke
     the union-accumulating variant: dense random and a long path."""
