@@ -17,9 +17,22 @@ Ray-native layout (``memo_dir/``):
   extractor output, replayed for hits.
 
 Both the hit/miss split and the replay are sort-shuffle co-groups on
-``memo_key`` (see stages/cogroup.py for why not ``Dataset.join``) —
-no driver-side key set, so the memo can be corpus-scale. Writes are
-tmp + ``os.replace`` (atomic), mirroring the reference's sidecar.
+``hash(memo_key) % 512`` buckets (see stages/cogroup.py for why not
+``Dataset.join``, and for the bucketed-grouping invariant: one Ray
+group per *document* key would make the fixed per-group cost dominate
+the very resume the memo exists to accelerate) — no driver-side key
+set, so the memo can be corpus-scale. Writes are tmp + ``os.replace``
+(atomic), mirroring the reference's sidecar.
+
+Replay semantics mirror the reference's reattach
+(extraction_cache.py: cached results are re-attached to the CURRENT
+article): every hit doc keeps its own url/warc_ts and the memoized
+mention fields are fanned out per hit doc — a doc whose content matches
+an earlier doc at a *different* url gets the mentions attributed to
+itself, not to the absent old url. The append-only data dir may hold
+duplicate rows for a key (concurrent runs, or a crash between the data
+append and the index append followed by a re-extract); replay dedups
+the payload per key before fanning out.
 """
 
 from __future__ import annotations
@@ -120,19 +133,24 @@ def extract_with_memo(
 
     idx_files = _list_parquet(os.path.join(memo_dir, "index"))
 
+    from ..stages.cogroup import key_buckets
+
+    n_buckets = 512
+
     if not idx_files:
         misses = keyed
-        hit_keys = None
+        hit_docs = None
     else:
         index = rd.read_parquet(idx_files, columns=["memo_key"])
 
         def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
             out = df[["memo_key", "url", "warc_ts", "text"]].copy()
             out["_src"] = np.int8(0)
+            out["_gbucket"] = key_buckets(out, ["memo_key"], n_buckets)
             return out
 
         def tag_idx(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "memo_key": df["memo_key"].astype(str),
                     "url": "",
@@ -141,10 +159,13 @@ def extract_with_memo(
                     "_src": np.int8(1),
                 }
             )
+            out["_gbucket"] = key_buckets(out, ["memo_key"], n_buckets)
+            return out
 
-        def split(g: pd.DataFrame) -> pd.DataFrame:
+        def split_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # one vectorized isin per bucket — never one Ray group per doc
             docs = g[g["_src"] == 0]
-            if docs.empty:  # memo entry for a doc not in this run
+            if docs.empty:  # bucket holds only memo entries, no run docs
                 return pd.DataFrame(
                     {
                         "memo_key": pd.Series(dtype=object),
@@ -154,32 +175,33 @@ def extract_with_memo(
                         "_hit": pd.Series(dtype=np.int8),
                     }
                 )
-            hit = np.int8(1 if (g["_src"] == 1).any() else 0)
-            out = docs.drop(columns=["_src"]).copy()
-            if hit:  # thin the hit rows — replay needs only the key
-                out = out.iloc[:1]
-                out["url"] = ""
-                out["text"] = ""
-            out["_hit"] = hit
+            idx_keys = g.loc[g["_src"] == 1, "memo_key"].unique()
+            out = docs.drop(columns=["_src", "_gbucket"]).copy()
+            hit = out["memo_key"].isin(idx_keys).to_numpy()
+            # hit docs KEEP url/warc_ts (replay reattaches mentions to
+            # the current doc); only the text can be thinned away.
+            out.loc[hit, "text"] = ""
+            out["_hit"] = hit.astype(np.int8)
             return out
 
         cg = (
             keyed.map_batches(tag_doc, batch_format="pandas")
             .union(index.map_batches(tag_idx, batch_format="pandas"))
-            .groupby("memo_key")
-            .map_groups(split, batch_format="pandas")
+            .groupby("_gbucket")
+            .map_groups(split_bucket, batch_format="pandas")
             .materialize()
         )
         misses = cg.map_batches(
             lambda df: df[df["_hit"] == 0].drop(columns=["_hit"]),
             batch_format="pandas",
         )
-        hit_keys = cg.map_batches(
-            lambda df: df[df["_hit"] == 1][["memo_key"]], batch_format="pandas"
+        hit_docs = cg.map_batches(
+            lambda df: df[df["_hit"] == 1][["memo_key", "url", "warc_ts"]],
+            batch_format="pandas",
         )
 
     n_miss = misses.count()
-    n_hit = hit_keys.count() if hit_keys is not None else 0
+    n_hit = hit_docs.count() if hit_docs is not None else 0
 
     fresh = None
     if n_miss:
@@ -256,34 +278,56 @@ def extract_with_memo(
     if n_hit and data_files:
         data = rd.read_parquet(data_files)
         mcols = list(MENTIONS_SCHEMA.names)
+        # memoized mention fields = everything except the doc identity,
+        # which replay takes from the CURRENT hit doc
+        payload_cols = [c for c in mcols if c not in ("url", "warc_ts")]
 
         def tag_data(df: pd.DataFrame) -> pd.DataFrame:
             out = df[["memo_key", *mcols]].copy()
             out["_src"] = np.int8(0)
+            out["_gbucket"] = key_buckets(out, ["memo_key"], n_buckets)
             return out
 
         def tag_hit(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"memo_key": df["memo_key"].astype(str)})
-            for c in mcols:
-                out[c] = "" if c not in ("warc_ts",) else pd.NaT
+            out = pd.DataFrame(
+                {
+                    "memo_key": df["memo_key"].astype(str),
+                    "url": df["url"].astype(str),
+                    "warc_ts": df["warc_ts"],
+                }
+            )
+            for c in payload_cols:
+                out[c] = ""
             out["n_mentions"] = np.int32(0)
             out["doc_ord"] = np.int32(0)
             out["aliases"] = [[] for _ in range(len(df))]
             out = out[["memo_key", *mcols]]
             out["_src"] = np.int8(1)
+            out["_gbucket"] = key_buckets(out, ["memo_key"], n_buckets)
             return out
 
-        def semi(g: pd.DataFrame) -> pd.DataFrame:
-            rows = g[g["_src"] == 0]
-            if rows.empty or not (g["_src"] == 1).any():
-                rows = rows.iloc[0:0]
-            return rows.drop(columns=["_src", "memo_key"])
+        def replay_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # vectorized per bucket: dedup each key's payload (the
+            # append-only data dir may hold duplicates), then fan it out
+            # to every hit doc of that key via one merge — each replayed
+            # row carries the hit doc's own url/warc_ts.
+            data_rows = g[g["_src"] == 0]
+            hits = g[g["_src"] == 1]
+            if data_rows.empty or hits.empty:
+                return data_rows.iloc[0:0][mcols]
+            payload = data_rows[["memo_key", *payload_cols]].drop_duplicates(
+                ["memo_key", "doc_ord", "entity_type", "name"]
+            )
+            out = hits[["memo_key", "url", "warc_ts"]].merge(
+                payload, on="memo_key", how="inner"
+            )
+            return out[mcols]
 
         replayed = (
             data.map_batches(tag_data, batch_format="pandas")
-            .union(hit_keys.map_batches(tag_hit, batch_format="pandas"))
-            .groupby("memo_key")
-            .map_groups(semi, batch_format="pandas")
+            .union(hit_docs.map_batches(tag_hit, batch_format="pandas"))
+            .groupby("_gbucket")
+            .map_groups(replay_bucket, batch_format="pandas")
         )
 
     stats = {"hits": int(n_hit), "misses": int(n_miss)}

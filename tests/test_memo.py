@@ -101,6 +101,54 @@ def test_zero_mention_doc_hits_next_time(ray_session, tmp_path):
     assert m2.count() == 0
 
 
+def test_replay_reattaches_to_current_doc(ray_session, tmp_path):
+    """A doc whose content matches a memoized doc at a DIFFERENT url
+    must get the replayed mentions attributed to ITS OWN url/warc_ts —
+    the reference sidecar reattaches cached results to the current
+    article (ADVICE r2: duplicate-content docs are common in web
+    corpora)."""
+    memo = str(tmp_path / "memo")
+    text = TEXTS[0]
+    extract_with_memo(_docs([text], start=0), memo, concurrency=2)
+
+    # same content, new url (start=100 → https://ex.org/100)
+    m2, s2 = extract_with_memo(_docs([text], start=100), memo, concurrency=2)
+    assert s2 == {"hits": 1, "misses": 0}
+    df = m2.to_pandas()
+    assert len(df) > 0
+    assert set(df["url"]) == {"https://ex.org/100"}
+    assert "Carol Rosenberg" in set(df["name"])
+
+    # and BOTH same-content docs in one run each get their own copy
+    m3, s3 = extract_with_memo(
+        _docs([text, text], start=200), memo, concurrency=2
+    )
+    assert s3 == {"hits": 2, "misses": 0}
+    df3 = m3.to_pandas()
+    assert set(df3["url"]) == {"https://ex.org/200", "https://ex.org/201"}
+    per_url = df3.groupby("url")["name"].apply(set)
+    assert per_url["https://ex.org/200"] == per_url["https://ex.org/201"]
+
+
+def test_duplicated_data_files_replay_once(ray_session, tmp_path):
+    """The append-only data dir can hold a key's rows twice (concurrent
+    runs / crash between data and index append) — replay must dedup."""
+    import os
+    import shutil
+
+    memo = str(tmp_path / "memo")
+    m1, _ = extract_with_memo(_docs(TEXTS[:1]), memo, concurrency=2)
+    n1 = m1.count()
+    data_dir = os.path.join(memo, "data")
+    for f in os.listdir(data_dir):
+        shutil.copyfile(
+            os.path.join(data_dir, f), os.path.join(data_dir, "dup-" + f)
+        )
+    m2, s2 = extract_with_memo(_docs(TEXTS[:1]), memo, concurrency=2)
+    assert s2 == {"hits": 1, "misses": 0}
+    assert m2.count() == n1
+
+
 def test_cache_version_bump_invalidates(ray_session, tmp_path):
     memo = str(tmp_path / "memo")
     extract_with_memo(_docs(TEXTS[:2]), memo, concurrency=2)
