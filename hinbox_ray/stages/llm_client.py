@@ -333,11 +333,19 @@ class ClientExtractor(MentionExtractor):
                         "entity_type": etype,
                         "name": name,
                         "attr_type": str(d.get("type", "") or ""),
+                        # event attributes stay empty on non-event types
+                        # even if the model populated them, matching the
+                        # deterministic extractor's shape and the
+                        # reference's per-domain models (ADVICE r2)
                         "start_date": str(d.get("start_date", "") or "")
                         if etype == "events"
                         else "",
-                        "end_date": str(d.get("end_date", "") or ""),
-                        "event_type": str(d.get("event_type", "") or ""),
+                        "end_date": str(d.get("end_date", "") or "")
+                        if etype == "events"
+                        else "",
+                        "event_type": str(d.get("event_type", "") or "")
+                        if etype == "events"
+                        else "",
                         "description": str(d.get("description", "") or ""),
                         "aliases": [a for a in (d.get("aliases") or []) if a],
                         "n_mentions": 1,

@@ -247,6 +247,51 @@ def test_client_extractor_validates_and_collapses():
     assert fbi and "FBI" in fbi[0]["aliases"]
 
 
+def test_client_extractor_blanks_event_attrs_on_non_events():
+    """A model that populates start/end_date/event_type on a PERSON must
+    not leak event attributes into non-event rows — matches the
+    deterministic extractor's shape and the reference's per-domain
+    models (ADVICE r2)."""
+
+    def factory():
+        def client(messages, *, response_model, mode, temperature):
+            out = [
+                ExtractedEntity(
+                    name="Carol Rosenberg",
+                    entity_type="people",
+                    start_date="2004-01-01",
+                    end_date="2004-12-31",
+                    event_type="visit",
+                ),
+                ExtractedEntity(
+                    title="Combatant Status Review Tribunals",
+                    entity_type="events",
+                    start_date="2004-07-30",
+                    end_date="2005-01-01",
+                    event_type="legal",
+                ),
+            ]
+            return iter(out) if mode == "parallel_tools" else out
+
+        return client
+
+    ext = ClientExtractor(factory, sleep=lambda s: None)
+    ents = ext._extract_doc_with_qc(
+        "Carol Rosenberg covered the Combatant Status Review Tribunals."
+    )
+    by_name = {e["name"]: e for e in ents}
+    person = by_name["Carol Rosenberg"]
+    assert (person["start_date"], person["end_date"], person["event_type"]) == (
+        "",
+        "",
+        "",
+    )
+    event = by_name["Combatant Status Review Tribunals"]
+    assert event["start_date"] == "2004-07-30"
+    assert event["end_date"] == "2005-01-01"
+    assert event["event_type"] == "legal"
+
+
 def test_client_extractor_in_ray_pipeline(ray_session):
     """The seam works as a map_batches actor pool over real pages."""
     import ray.data as rd

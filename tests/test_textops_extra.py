@@ -164,6 +164,63 @@ def test_embedding_neardup_lsh_recall_on_planted_dups(ray_session, tmp_path):
     assert recall == 1.0, (recall, exact_pairs - lsh_pairs)
 
 
+def test_ivf_index_invalidates_on_source_change(ray_session, tmp_path):
+    """Regenerating embeddings.parquet at the same path must invalidate
+    the IVF index (ADVICE r2: the stale _SUCCESS marker used to serve
+    old vec_ids forever). Covers both the fingerprinted default dir and
+    an explicit index_dir whose marker is validated against the source."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import (
+        _default_ivf_dir,
+        build_ivf_index,
+        knn_ivf,
+    )
+
+    def write_embeddings(seed: int, mtime_ns: int):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((64, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(64), type=pa.int64()),
+                "embedding": pa.array([list(map(float, e)) for e in emb]),
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, ns=(mtime_ns, mtime_ns))
+
+    write_embeddings(seed=1, mtime_ns=1_000_000_000)
+    d1 = _default_ivf_dir(str(tmp_path))
+    a = knn_ivf(str(tmp_path), query_ids=(0, 1), k=5).to_pandas()
+    assert len(a) > 0
+
+    # same path, new content → new default dir, fresh index, no error
+    write_embeddings(seed=2, mtime_ns=2_000_000_000)
+    d2 = _default_ivf_dir(str(tmp_path))
+    assert d2 != d1
+    b = knn_ivf(str(tmp_path), query_ids=(0, 1), k=5).to_pandas()
+    # each query vector is its own nearest neighbor in the NEW corpus
+    for q in (0, 1):
+        assert b[b.query_id == q].iloc[0]["vec_id"] == q
+
+    # explicit index_dir: marker fingerprint mismatch forces a rebuild
+    idx = str(tmp_path / "ivf_explicit")
+    build_ivf_index(str(tmp_path), idx)
+    marker = os.path.join(idx, "_SUCCESS")
+    with open(marker) as f:
+        fp_before = f.read()
+    build_ivf_index(str(tmp_path), idx)  # no-op: fingerprint matches
+    with open(marker) as f:
+        assert f.read() == fp_before
+    write_embeddings(seed=3, mtime_ns=3_000_000_000)
+    build_ivf_index(str(tmp_path), idx)  # mismatch → rebuild
+    with open(marker) as f:
+        assert f.read() != fp_before
+
+
 def test_doc_quality_score_edge_cases(ray_session, tmp_path):
     """Empty text, symbol-only text, and a healthy doc score correctly;
     integer arithmetic matches the DuckDB oracle's (// division)."""
