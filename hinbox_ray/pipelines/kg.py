@@ -44,6 +44,7 @@ class KGResult:
     mentions: "object"  # per-(doc, entity) mention rows
     verdicts: "object" = None   # per-pair MATCH/SKIP/DEFER rows (A4/A5)
     merge_stats: "object" = None  # MergeStats counters (G1–G3)
+    profiles: "object" = None   # versioned profiles (A6), when requested
 
 
 def build_kg(

@@ -52,12 +52,19 @@ _KIND_LABEL = {
 
 
 def profile_kernel(
-    name: str, entity_type: str, attr_type: str, urls: List[str]
+    name: str, entity_type: str, attr_type: str, urls: List[str], repair=None
 ) -> Dict:
     """Deterministic stand-in for the reference's LLM profile generation
     (profiles.py:106-212): profile dict for ``name`` given its first
     ``len(urls)`` source articles. Same output contract as
-    ``EntityProfile`` (text/tags/confidence/sources)."""
+    ``EntityProfile`` (text/tags/confidence/sources).
+
+    ``repair`` is the previous round's ``ReflectionResult`` when the
+    reflection loop (stages/reflection.py) regenerates after a failed
+    validation — the reference appends the critique to the generation
+    messages (llm.py:720-726). The deterministic kernel is
+    repair-invariant (its output always satisfies the default
+    reflector); a model-backed ``profile_fn`` uses it."""
     kind = _KIND_LABEL.get(entity_type, entity_type)
     cited = " ".join(f"{name} ^[{u}]" for u in urls)
     text = f"{cited} — {kind} profile." if cited else f"{name} — {kind} profile."
@@ -74,24 +81,62 @@ def profile_kernel(
 
 
 def build_versions(
-    name: str, entity_type: str, attr_type: str, urls: List[str]
+    name: str,
+    entity_type: str,
+    attr_type: str,
+    urls: List[str],
+    *,
+    profile_fn=None,
+    reflector=None,
+    max_iterations: int = 3,
 ) -> Dict:
     """Replay of the reference's create→update ladder: version 1 from
     the first article, then one immutable snapshot per further article
     (VersionedProfile.add_version semantics — version_number =
-    len(versions)+1, trigger recorded, current_version advances)."""
+    len(versions)+1, trigger recorded, current_version advances).
+
+    Each version is generated through the reflection loop
+    (stages/reflection.py ``iterative_improve``, reference
+    llm.py:654-754 / profiles.py:106-212): generate → validate with
+    ``reflector`` → regenerate with the critique, ≤ ``max_iterations``
+    rounds. With the deterministic kernel + default reflector every
+    version validates first try, so the ladder is byte-identical to the
+    loop-free one; the per-entity attempt total is surfaced as the
+    ``reflection`` summary (reference ``reflection_summary`` in
+    processing metadata, process_and_extract.py:343-362)."""
+    from .reflection import default_profile_reflector, iterative_improve
+
+    gen = profile_fn or profile_kernel
+    reflect = reflector or default_profile_reflector
     versions = []
+    total_attempts = 0
+    all_valid = True
     for k in range(1, len(urls) + 1):
+        prefix = urls[:k]
+        imp = iterative_improve(
+            gen(name, entity_type, attr_type, prefix),
+            lambda cur, r, p=prefix: gen(
+                name, entity_type, attr_type, p, repair=r
+            ),
+            reflect,
+            max_iterations=max_iterations,
+        )
+        total_attempts += imp["attempts"]
+        all_valid = all_valid and imp["final_valid"]
         versions.append(
             {
                 "version_number": k,
-                "profile": profile_kernel(name, entity_type, attr_type, urls[:k]),
+                "profile": imp["result"],
                 "trigger_article_id": urls[k - 1],
             }
         )
     return {
         "current_version": len(versions),
         "versions": versions,
+        "reflection": {
+            "total_attempts": total_attempts,
+            "final_valid": all_valid,
+        },
     }
 
 
@@ -140,13 +185,27 @@ def _article_lists(mentions_ds, node_map_df: pd.DataFrame, max_versions: int):
     return bucketed_map_groups(combined, "entity_id", reduce_group)
 
 
-def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
+def entity_profiles(
+    entities_ds,
+    mentions_ds,
+    *,
+    max_versions: int = 8,
+    profile_fn=None,
+    reflector=None,
+    max_iterations: int = 3,
+):
     """Canonical entities + mentions → one versioned-profile row per
     entity (SHUFFLE: article-list groupby + the entity co-group).
 
     Output: entity_id, entity_type, name, profile_text, confidence_e2,
     n_sources, current_version, sources (\\x1f-joined), profile_hash,
-    versions_json (full immutable history).
+    versions_json (full immutable history), reflection_attempts (G3
+    counter: total reflection-loop attempts across the entity's
+    versions — 1 per version when generation validates first try).
+
+    ``profile_fn`` / ``reflector`` / ``max_iterations`` plug the
+    reflection loop (stages/reflection.py); defaults are the
+    deterministic kernel + contract validator.
     """
     from .canonical import node_map
 
@@ -195,6 +254,7 @@ def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
                     "sources": pd.Series(dtype=object),
                     "profile_hash": pd.Series(dtype=object),
                     "versions_json": pd.Series(dtype=object),
+                    "reflection_attempts": pd.Series(dtype=np.int64),
                 }
             )
         e = ents.iloc[0]
@@ -203,7 +263,15 @@ def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
             for u in (arts["urls"].iloc[0].split(ALIAS_SEP) if len(arts) else [])
             if u
         ]
-        vp = build_versions(str(e["name"]), str(e["entity_type"]), str(e["attr_type"]), urls)
+        vp = build_versions(
+            str(e["name"]),
+            str(e["entity_type"]),
+            str(e["attr_type"]),
+            urls,
+            profile_fn=profile_fn,
+            reflector=reflector,
+            max_iterations=max_iterations,
+        )
         cur = (
             vp["versions"][-1]["profile"]
             if vp["versions"]
@@ -221,6 +289,9 @@ def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
                 "sources": [ALIAS_SEP.join(urls)],
                 "profile_hash": [sha256_hex(cur["text"])],
                 "versions_json": [json.dumps(vp, sort_keys=True)],
+                "reflection_attempts": [
+                    np.int64(vp["reflection"]["total_attempts"])
+                ],
             }
         )
 
@@ -229,6 +300,27 @@ def entity_profiles(entities_ds, mentions_ds, *, max_versions: int = 8):
     left = entities_ds.map_batches(tag_ent, batch_format="pandas")
     right = articles.map_batches(tag_art, batch_format="pandas")
     return bucketed_map_groups(left.union(right), "entity_id", build)
+
+
+def reflection_stats(profiles_ds) -> Dict:
+    """Fold per-entity ``reflection_attempts`` into the G3 summary the
+    reference logs per run (``calculate_reflection_statistics``,
+    src/process_and_extract.py:343-362): total attempts + mean per
+    entity. Vocabulary-scale aggregate — one Sum + one count."""
+    from ray.data.aggregate import Sum
+
+    n = profiles_ds.count()
+    total = 0
+    if n:
+        row = profiles_ds.aggregate(
+            Sum("reflection_attempts", alias_name="total")
+        )
+        total = int(row["total"] or 0)
+    return {
+        "total_reflection_attempts": total,
+        "avg_reflections": (total / n) if n else 0.0,
+        "n_profiles": int(n),
+    }
 
 
 def profiles_from_sf(sf_dir: str, *, max_versions: int = 8):

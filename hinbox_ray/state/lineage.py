@@ -239,10 +239,16 @@ def resolve_from_checkpoint(
     *,
     num_partitions: int = 16,
     write_triples: bool = True,
+    with_profiles: bool = False,
 ):
     """Run resolution over checkpointed mentions; optionally write the
     sorted triples Parquet (tmp+rename, so a crash never leaves a
-    half-written final output)."""
+    half-written final output).
+
+    ``with_profiles=True`` additionally builds the versioned profiles
+    (stages/profiles.py, A6) and folds the G3 reflection counters
+    (total/avg attempts, reference process_and_extract.py:343-362) into
+    ``merge_stats.json`` alongside the merge counters."""
     import ray.data as rd
 
     from ..pipelines.kg import KGResult
@@ -271,9 +277,14 @@ def resolve_from_checkpoint(
     comps = connected_components(edges)
     entities = canonical_entities(raw, comps, num_partitions=num_partitions).materialize()
     merge_stats = compute_merge_stats(verdicts, entities.count())
-    _atomic_write_json(
-        os.path.join(out_dir, "merge_stats.json"), merge_stats.to_dict()
-    )
+    profiles = None
+    stats_doc = merge_stats.to_dict()
+    if with_profiles:
+        from ..stages.profiles import entity_profiles, reflection_stats
+
+        profiles = entity_profiles(entities, mentions).materialize()
+        stats_doc.update(reflection_stats(profiles))
+    _atomic_write_json(os.path.join(out_dir, "merge_stats.json"), stats_doc)
     nmap = node_map(entities)
     triples = entity_triples(entities).union(
         mention_triples(
@@ -303,4 +314,5 @@ def resolve_from_checkpoint(
         mentions=mentions,
         verdicts=verdicts,
         merge_stats=merge_stats,
+        profiles=profiles,
     )

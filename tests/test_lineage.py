@@ -50,11 +50,18 @@ def test_full_run_writes_manifests_and_triples(ray_session, corpus, tmp_path):
         assert rec["n_docs"] > 0
         assert os.path.isdir(rec["mentions_dir"])
         assert rec["url_min"].startswith("https://")
-    res = resolve_from_checkpoint(out, num_partitions=4)
+    res = resolve_from_checkpoint(out, num_partitions=4, with_profiles=True)
     assert res.triples.count() > 0
     assert os.path.isdir(os.path.join(out, "triples"))
     # manifests reload identically
     assert load_manifests(out).keys() == manifests.keys()
+    # G1–G3 counters: merge stats + reflection summary in one doc
+    with open(os.path.join(out, "merge_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["new"] == res.entities.count()
+    assert stats["n_profiles"] == res.profiles.count()
+    assert stats["total_reflection_attempts"] >= stats["n_profiles"]
+    assert stats["avg_reflections"] >= 1.0
 
 
 def test_resume_skips_done_and_matches_fresh_run(ray_session, corpus, tmp_path):

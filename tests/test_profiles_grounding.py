@@ -88,6 +88,22 @@ def test_entity_profiles_stage(ray_session, kg_small):
         assert f"^[{u}]" in hot["profile_text"]
 
 
+def test_reflection_counters_surfaced(ray_session, kg_small):
+    """G3: deterministic kernel validates first try → exactly one
+    reflection attempt per version; the fold matches the column."""
+    from hinbox_ray.stages.profiles import entity_profiles, reflection_stats
+
+    prof = entity_profiles(kg_small.entities, kg_small.mentions).materialize()
+    df = prof.to_pandas()
+    assert (df["reflection_attempts"] == df["current_version"]).all()
+    stats = reflection_stats(prof)
+    assert stats["total_reflection_attempts"] == int(
+        df["reflection_attempts"].sum()
+    )
+    assert stats["n_profiles"] == len(df)
+    assert stats["avg_reflections"] >= 1.0
+
+
 def test_grounding_stage_all_supported_for_exact_names(ray_session, kg_small, tmp_path):
     """Profile claims are the entity's own name → claims verify against
     the cited articles; summary arithmetic matches the kernel."""
