@@ -127,7 +127,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
-        "embedding_neardup_lsh": T.embedding_neardup_lsh,
+        # 50 planted exact duplicates (re-id'd at +10M) make the truth
+        # set non-empty — the sf fixtures' natural max pairwise cosine
+        # (~0.6) sits below the 0.85 threshold, so the un-planted query
+        # would vacuously match an empty oracle (round-2 VERDICT #6).
+        # Identical vectors collide in every LSH table: recall 1.0.
+        "embedding_neardup_lsh": lambda sf: T.embedding_neardup_lsh(
+            sf, plant=50
+        ),
         # --- corpus curation (split / domain stats / sequence packing)
         "doc_split_assign": T.doc_split_assign,
         "corpus_domain_stats": T.corpus_domain_stats,
@@ -400,6 +407,21 @@ def oracle_sql() -> dict[str, str]:
                               * 10000 + 0.5) AS BIGINT) AS cos_e4
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+        "embedding_neardup_lsh": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[])
+                              * 10000 + 0.5) AS BIGINT) AS cos_e4
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.85
             ORDER BY vec_a, vec_b
         """,
         "events_sessionize": """

@@ -1086,6 +1086,7 @@ def embedding_neardup_lsh(
     n_tables: int = 16,
     n_bits: int = 8,
     bucket_cap: int = 512,
+    plant: int = 0,
 ) -> ray.data.Dataset:
     """Banded sign-LSH near-dup over embeddings — the sub-quadratic
     100-TB path (`embedding_neardup` is the exact quadratic companion).
@@ -1101,7 +1102,18 @@ def embedding_neardup_lsh(
     a LOGGED drop count) → co-group the normalized vectors back per
     side → exact-cosine verify ≥ threshold. Only (bucket, id) rows and
     two copies of each paired vector transit the shuffle.
+
+    ``plant`` > 0 unions the input with exact copies of the ``plant``
+    lowest vec_ids (re-id'd at +10M): identical vectors share every
+    band signature, so LSH recall on the planted pairs is exactly 1.0
+    and the query's truth set is non-empty even on a corpus whose
+    natural max pairwise cosine sits below ``threshold`` (the sf
+    fixtures top out ≈ 0.6) — this makes the driver's oracle
+    comparison exercise the full plan instead of vacuously matching
+    empty outputs (round-2 VERDICT #6). The same augmentation is
+    expressed in the oracle SQL.
     """
+    _PLANT_OFFSET = 10_000_000
     def sig(batch: pa.Table) -> pa.Table:
         emb = _emb_matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1130,11 +1142,25 @@ def embedding_neardup_lsh(
             }
         )
 
-    sigs = (
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(sig, batch_format="pyarrow")
-        .materialize()
-    )
+    src = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant:
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pads
+
+        def re_id(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("vec_id"),
+                "vec_id",
+                _pc.add(batch["vec_id"], pa.scalar(_PLANT_OFFSET, pa.int64())),
+            )
+
+        dup = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filter=_pads.field("vec_id") < plant,  # row-group pushdown
+        ).map_batches(re_id, batch_format="pyarrow")
+        src = src.union(dup)
+    sigs = src.map_batches(sig, batch_format="pyarrow").materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         col = batch["bands"]

@@ -164,6 +164,20 @@ def test_embedding_neardup_lsh_recall_on_planted_dups(ray_session, tmp_path):
     assert recall == 1.0, (recall, exact_pairs - lsh_pairs)
 
 
+def test_embedding_neardup_lsh_plant_param(ray_session):
+    """plant=k unions k exact copies (re-id'd at +10M): output is
+    exactly the k (orig, copy) pairs at cos_e4=10000 on a corpus whose
+    natural similarities all sit below the threshold (the sf fixtures
+    top out ≈ 0.6 — this is what makes the driver check non-vacuous)."""
+    from hinbox_ray.pipelines.textops import embedding_neardup_lsh
+
+    out = embedding_neardup_lsh(SF, plant=20).to_pandas()
+    assert len(out) == 20
+    assert out["vec_a"].tolist() == list(range(20))
+    assert out["vec_b"].tolist() == [10_000_000 + i for i in range(20)]
+    assert (out["cos_e4"] == 10000).all()
+
+
 def test_ivf_index_invalidates_on_source_change(ray_session, tmp_path):
     """Regenerating embeddings.parquet at the same path must invalidate
     the IVF index (ADVICE r2: the stale _SUCCESS marker used to serve
