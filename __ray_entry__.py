@@ -29,6 +29,23 @@ def _kg_triples(sf_dir: str) -> Any:
     return build_kg_from_sf(sf_dir).triples
 
 
+def _kg_triples_client(sf_dir: str) -> Any:
+    """The flagship through the MODEL seam (A1/A2 integration proof):
+    ClientExtractor + the network-free gazetteer client must reproduce
+    _kg_triples' graph exactly (pinned by tests/test_llm_client.py)."""
+    from hinbox_ray.pipelines.kg import build_kg_from_sf
+    from hinbox_ray.stages.llm_client import (
+        ClientExtractor,
+        gazetteer_client_factory,
+    )
+
+    return build_kg_from_sf(
+        sf_dir,
+        extractor_cls=ClientExtractor,
+        extractor_kwargs={"client_factory": gazetteer_client_factory},
+    ).triples
+
+
 def _kg_entities(sf_dir: str) -> Any:
     from hinbox_ray.pipelines.kg import build_kg_from_sf
 
@@ -93,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship KG construction (non-SQL: LLM-stub extraction,
         #     LSH blocking, connected components) → rows-only checks
         "kg_triples": _kg_triples,
+        "kg_triples_client": _kg_triples_client,
         "kg_entities": _kg_entities,
         "pages_extract_text": _pages_extract_text,
         "kg_pair_verdicts": _kg_pair_verdicts,

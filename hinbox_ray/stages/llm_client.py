@@ -352,3 +352,45 @@ class ClientExtractor(MentionExtractor):
                     }
                 )
         return self._collapse_variants(ents)
+
+
+def gazetteer_client_factory() -> Callable[..., Any]:
+    """Network-free structured-output 'model' for the A1/A2 seam: wraps
+    the deterministic lexicon scan behind the client interface (one
+    ``ExtractedEntity`` per distinct entity in the message text, event
+    dates read off the text like the scanner's date-suffix capture) and
+    adds one hallucinated entity that the mention-validation gate (F4)
+    must drop. ``build_kg(extractor_cls=ClientExtractor,
+    extractor_kwargs={"client_factory": gazetteer_client_factory})``
+    must reproduce the deterministic extractor's graph exactly — the
+    integration proof that the model seam composes end-to-end
+    (reference swaps models the same way via provider routing,
+    src/utils/llm.py cloud/local generation)."""
+    from .mentions import MentionExtractor
+
+    scan = MentionExtractor(qc_retry=False)
+
+    def client(messages, *, response_model, mode, temperature):
+        text = messages[-1]["content"]
+        out = []
+        for d in scan._extract_doc(text):
+            kw = {
+                "entity_type": d["entity_type"],
+                "type": d["attr_type"],
+                "end_date": d["end_date"],
+                "event_type": d["event_type"],
+                "description": d["description"],
+                "aliases": list(d["aliases"]),
+            }
+            if d["entity_type"] == "events":
+                kw["title"] = d["name"]
+                kw["start_date"] = d["start_date"]
+            else:
+                kw["name"] = d["name"]
+            out.append(ExtractedEntity(**kw))
+        out.append(
+            ExtractedEntity(name="Zebulon Hallucination", entity_type="people")
+        )
+        return iter(out) if mode == "parallel_tools" else out
+
+    return client

@@ -292,6 +292,29 @@ def test_client_extractor_blanks_event_attrs_on_non_events():
     assert event["event_type"] == "legal"
 
 
+def test_client_extractor_build_kg_matches_gazetteer_graph(ray_session):
+    """A1/A2 integration proof (round-2 VERDICT #4): the flagship run
+    through ClientExtractor + the library's gazetteer client double
+    produces the EXACT triple set of the deterministic extractor —
+    the model seam composes beyond unit level."""
+    import ray.data as rd
+
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.pages import generate_pages_table
+    from hinbox_ray.stages.llm_client import gazetteer_client_factory
+
+    pages = generate_pages_table(120)
+    gaz = build_kg(rd.from_arrow(pages), concurrency=2).triples.to_pandas()
+    cli = build_kg(
+        rd.from_arrow(pages),
+        concurrency=2,
+        extractor_cls=ClientExtractor,
+        extractor_kwargs={"client_factory": gazetteer_client_factory},
+    ).triples.to_pandas()
+    assert set(map(tuple, gaz.values)) == set(map(tuple, cli.values))
+    assert len(gaz) == len(cli) > 0
+
+
 def test_client_extractor_in_ray_pipeline(ray_session):
     """The seam works as a map_batches actor pool over real pages."""
     import ray.data as rd
