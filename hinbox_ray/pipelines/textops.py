@@ -297,14 +297,20 @@ _BAND_SHUFFLE_BUCKETS = 512  # coarse shuffle groups for band-key grouping
 _log = __import__("logging").getLogger("hinbox_ray.textops")
 
 
-def _log_dropped_pairs(bucket: str, n_dropped: int) -> None:
+def _log_dropped_pairs(bucket: str, n_dropped: int, kind: str = "pairs") -> None:
     """Visible truncation: a hot bucket hitting its pair cap loses
     recall silently otherwise (VERDICT r1 wrong#5). One WARNING per
     truncated bucket, with the count, so operators can widen the cap or
-    salt the bucket."""
+    salt the bucket. Also increments the machine-readable drop counter
+    (state/counters.py) when a drop-accounting session is active, so a
+    driver can record ``n_dropped_pairs`` without grepping worker logs
+    (VERDICT r2 #8)."""
     _log.warning(
         "candidate-pair cap hit in bucket %s: dropped %d pairs", bucket, n_dropped
     )
+    from ..state.counters import record_dropped_pairs
+
+    record_dropped_pairs(kind, n_dropped)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
@@ -506,7 +512,7 @@ def doc_minhash_neardup(
                 if n >= _PAIR_CAP:
                     break
             if total > n:
-                _log_dropped_pairs(bk, total - n)
+                _log_dropped_pairs(bk, total - n, kind="minhash_band")
         out_a, out_b, out_j = [], [], []
         for a, b in sorted(cand):
             sa, sb = grams[a], grams[b]
@@ -594,7 +600,7 @@ def doc_minhash_neardup(
                 if cnt >= _PAIR_CAP:
                     break
             if total > cnt:
-                _log_dropped_pairs(str(int(keys[st])), total - cnt)
+                _log_dropped_pairs(str(int(keys[st])), total - cnt, kind="minhash_band")
             outs_a.append(np.array(a_l, dtype=np.int64))
             outs_b.append(np.array(b_l, dtype=np.int64))
         if not outs_a:
@@ -1223,7 +1229,7 @@ def embedding_neardup_lsh(
                 if cnt >= bucket_cap:
                     break
             if total > cnt:
-                _log_dropped_pairs(str(int(keys[st])), total - cnt)
+                _log_dropped_pairs(str(int(keys[st])), total - cnt, kind="embedding_lsh_band")
             outs_a.append(np.array(a_l, dtype=np.int64))
             outs_b.append(np.array(b_l, dtype=np.int64))
         if not outs_a:
@@ -1356,6 +1362,7 @@ def doc_simhash_neardup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                 _log_dropped_pairs(
                     str(int(keys[st])),
                     m * (m - 1) // 2 - cap * (cap - 1) // 2,
+                    kind="simhash_band",
                 )
             bids = ids[st : st + cap]
             bshs = shs[st : st + cap]
