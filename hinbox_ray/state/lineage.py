@@ -240,6 +240,7 @@ def resolve_from_checkpoint(
     num_partitions: int = 16,
     write_triples: bool = True,
     with_profiles: bool = False,
+    sort_triples="global",
 ):
     """Run resolution over checkpointed mentions; optionally write the
     sorted triples Parquet (tmp+rename, so a crash never leaves a
@@ -248,7 +249,16 @@ def resolve_from_checkpoint(
     ``with_profiles=True`` additionally builds the versioned profiles
     (stages/profiles.py, A6) and folds the G3 reflection counters
     (total/avg attempts, reference process_and_extract.py:343-362) into
-    ``merge_stats.json`` alongside the merge counters."""
+    ``merge_stats.json`` alongside the merge counters.
+
+    ``sort_triples="sharded"`` replaces the cluster-wide sample-sort
+    barrier with the hash-sharded per-shard sort
+    (pipelines/kg.sharded_sorted_triples) and writes the output
+    partitioned by shard (``triples/shard=N/``): on a multi-node resume
+    no stage waits on a global barrier, each shard is an independently
+    consumable sorted+distinct range file, and a consumer can prune by
+    shard. ``"global"`` (default) keeps the single-node-fastest global
+    sort (measured: beats the sharded path on one node)."""
     import ray.data as rd
 
     from ..pipelines.kg import KGResult
@@ -291,18 +301,27 @@ def resolve_from_checkpoint(
             mentions, nmap, num_partitions=num_partitions, dedup="local"
         )
     )
-    from ..pipelines.kg import _distinct_sorted_block
+    from ..pipelines.kg import _distinct_sorted_block, sharded_sorted_triples
 
-    triples = triples.sort(["subj", "pred", "obj"]).map_batches(
-        _distinct_sorted_block, batch_format="pyarrow", batch_size=None
-    )
+    sharded = sort_triples == "sharded"
+    if sharded:
+        triples = sharded_sorted_triples(triples)
+    else:
+        triples = triples.sort(["subj", "pred", "obj"]).map_batches(
+            _distinct_sorted_block, batch_format="pyarrow", batch_size=None
+        )
 
     if write_triples:
         final = os.path.join(out_dir, "triples")
         tmp = final + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        triples.write_parquet(tmp)
+        if sharded:
+            # one directory per shard (hive layout): independently
+            # replaceable / skippable units for a multi-node resume
+            triples.write_parquet(tmp, partition_cols=["shard"])
+        else:
+            triples.write_parquet(tmp)
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
