@@ -248,6 +248,49 @@ def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(lid, batch_format="pyarrow")
 
 
+def doc_embed(
+    sf_dir: str, *, dim: int = 64, concurrency: int = 4
+) -> ray.data.Dataset:
+    """documents → per-doc embedding via the A8 manager stage
+    (stages/embeddings.EmbedTextStage): one EmbeddingManager per actor
+    (LRU + hit/miss batch split + hybrid fallback), deterministic
+    n-gram provider in this container, SDK provider one
+    ``manager_factory`` swap away. Emits (doc_id, embedding, l2norm_e6)
+    — the norm pins the vectors' values driver-side without hashing a
+    list column."""
+    from ..stages.embeddings import EmbedTextStage
+
+    def finish(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            mat = np.zeros((0, dim), dtype=np.float32)
+        else:
+            mat = col.values.to_numpy(zero_copy_only=False).reshape(n, -1)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return batch.append_column(
+            "l2norm_e6",
+            pa.array(np.floor(norms * 1e6 + 0.5).astype(np.int64)),
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(
+            EmbedTextStage,
+            fn_constructor_kwargs={"dim": dim},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .select_columns(["doc_id", "embedding", "l2norm_e6"])
+        .sort("doc_id")
+    )
+
+
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """SimHash-64 + polynomial rolling hash per document (hex strings)."""
     from ..functions.minhash import simhash64
