@@ -208,7 +208,20 @@ def ground_profiles(
         fresh_profiles = profiles_ds.map_batches(
             drop_memoized, batch_format="pandas"
         )
-        # replay memoized reports only for entities present in THIS run
+        # replay memoized reports only for entities present in THIS run.
+        # SCALE GUARD: the driver set below is one (entity_id, hash)
+        # pair per CANONICAL ENTITY — vocabulary-scale by construction
+        # (one profile per entity, stages/profiles.py). If profiles
+        # ever become per-(entity, article), this collect turns
+        # corpus-scale: fail loudly instead of OOMing the driver, and
+        # move the split to a bucketed co-group (state/memo.py pattern).
+        n_profiles = profiles_ds.count()
+        if n_profiles > 5_000_000:
+            raise RuntimeError(
+                f"grounding memo replay would collect {n_profiles} keys "
+                "on the driver; profiles are no longer vocabulary-scale "
+                "— rework the replay as a bucketed co-group"
+            )
         run_keys = set(
             zip(
                 *(
