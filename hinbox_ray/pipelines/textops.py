@@ -249,7 +249,7 @@ def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_embed(
-    sf_dir: str, *, dim: int = 64, concurrency: int = 4
+    sf_dir: str, *, dim: int = 64, concurrency: Optional[int] = None
 ) -> ray.data.Dataset:
     """documents → per-doc embedding via the A8 manager stage
     (stages/embeddings.EmbedTextStage): one EmbeddingManager per actor
@@ -257,8 +257,21 @@ def doc_embed(
     n-gram provider in this container, SDK provider one
     ``manager_factory`` swap away. Emits (doc_id, embedding, l2norm_e6)
     — the norm pins the vectors' values driver-side without hashing a
-    list column."""
+    list column.
+
+    Pool sizing: default n_cpus − 2 (never full-width — an actor pool
+    holding every CPU permanently starves the upstream read and the
+    pipeline deadlocks; measured on the flagship, re-bitten here in a
+    4-CPU test session)."""
     from ..stages.embeddings import EmbedTextStage
+
+    if concurrency is None:
+        n_cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        concurrency = max(2, n_cpus - 2)
 
     def finish(batch: pa.Table) -> pa.Table:
         col = batch["embedding"]
