@@ -143,40 +143,68 @@ def _checksum(edges) -> Tuple[int, int]:
     return int(agg["n"].sum()), int(np.uint64(agg["c"].astype(np.uint64).sum()))
 
 
+def _driver_finish(edges):
+    """Union-find the (small) current edge set on the driver and return
+    the mapping Dataset. Exact at ANY point of the contraction loop:
+    every star round preserves connectivity over the original node set,
+    every original node stays present in the edge set (children keep
+    their child→parent edge, parents appear on the v side), and the
+    component minimum is therefore still the minimum over the original
+    members — so union-find-by-min on the contracted graph equals
+    union-find on the raw edges."""
+    import ray.data as rd
+
+    mapping = components_driver(edges)
+    items = sorted(mapping.items())
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node_id": np.array([k for k, _ in items], dtype=np.int64),
+                "component": np.array([v for _, v in items], dtype=np.int64),
+            }
+        )
+    )
+
+
 def connected_components(
     edges_ds,
     *,
     max_rounds: int = 24,
     small_edge_threshold: int = 200_000,
     n_buckets: int | None = None,
+    driver_finish_threshold: int | None = None,
 ):
     """edges(u:int64, v:int64) → Dataset(node_id:int64, component:int64).
 
     Every node that appears in an edge gets a row; the component id is
     the minimum node id of the component. Singleton nodes (no edges) are
     absent — callers left-join and default to the node's own id.
+    INPUT CONTRACT: u ≠ v per row (the blocking stage only emits
+    distinct pairs); a self-edge's node would survive the driver path
+    but be dropped by the contraction rounds (self-rows are filtered),
+    so callers adding other edge sources must pre-filter u == v.
 
     Size-based physical plan (the same decision as broadcast-vs-shuffle
     join): below ``small_edge_threshold`` edges, the log-n shuffle
     rounds cost more in fixed stage latency than the whole problem —
     run union-find on the driver and return it as a Dataset. Above it,
-    the dataset-native star-contraction loop is the scale path.
+    the dataset-native star-contraction loop is the scale path, with an
+    EARLY DRIVER FINISH (Kiveris et al. §4's two-phase idea taken to
+    its hybrid conclusion): each round strictly shrinks the edge set,
+    so once it fits under ``driver_finish_threshold`` (default: same as
+    ``small_edge_threshold``) the remaining log-d rounds of shuffle
+    latency are replaced by one O(E·α) driver pass — at web scale a
+    10^8-edge blocking graph contracts under the threshold in 1–2
+    rounds instead of ~10. Set ``driver_finish_threshold=0`` to force
+    pure shuffle rounds (the multi-node path where the driver must
+    never hold an edge set; the forced-scale tests pin it).
     """
     edges = edges_ds.materialize()
     n_edges = edges.count()
+    if driver_finish_threshold is None:
+        driver_finish_threshold = small_edge_threshold
     if 0 < n_edges <= small_edge_threshold:
-        import ray.data as rd
-
-        mapping = components_driver(edges)
-        items = sorted(mapping.items())
-        return rd.from_pandas(
-            pd.DataFrame(
-                {
-                    "node_id": np.array([k for k, _ in items], dtype=np.int64),
-                    "component": np.array([v for _, v in items], dtype=np.int64),
-                }
-            )
-        )
+        return _driver_finish(edges)
     if n_edges == 0:
         import pyarrow as pa
         import ray.data as rd
@@ -203,6 +231,8 @@ def connected_components(
     edges = edges.map_batches(
         _local_contract, batch_format="pandas"
     ).materialize()
+    if 0 < edges.count() <= driver_finish_threshold:
+        return _driver_finish(edges)
 
     # Alternate large-star / small-star, REPLACING the edge set each
     # half-round (Kiveris et al. Alg. 2). Unioning with the previous
@@ -230,6 +260,8 @@ def connected_components(
             .map_groups(_small_star_bucket, batch_format="pandas")
         )
         edges = small.materialize()
+        if 0 < edges.count() <= driver_finish_threshold:
+            return _driver_finish(edges)
         sig = _checksum(edges)
         if sig == prev:
             break

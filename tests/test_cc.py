@@ -126,3 +126,28 @@ def test_dataset_native_path_dense_and_chain(ray_session):
         truth = components_driver(edges)
         got = dict(zip(comps.node_id, comps.component))
         assert got == truth, name
+
+
+def test_driver_finish_hybrid_matches(ray_session):
+    """Early driver finish (rounds until the contracted edge set fits,
+    then one union-find pass) must equal both the pure-rounds path and
+    the raw-edge driver union-find."""
+    import ray.data as rd
+
+    from hinbox_ray.stages.cc import components_driver, connected_components
+
+    rng = np.random.default_rng(23)
+    u = rng.integers(0, 90_000, 140_000).astype(np.int64)
+    v = rng.integers(0, 90_000, 140_000).astype(np.int64)
+    m = u != v
+    edges = rd.from_pandas(pd.DataFrame({"u": u[m], "v": v[m]})).materialize()
+    truth = components_driver(edges)
+    hybrid = connected_components(
+        edges, small_edge_threshold=0, driver_finish_threshold=120_000
+    ).to_pandas()
+    assert dict(zip(hybrid.node_id, hybrid.component)) == truth
+    # finish-immediately (huge threshold) also exact
+    fast = connected_components(
+        edges, small_edge_threshold=0, driver_finish_threshold=10**9
+    ).to_pandas()
+    assert dict(zip(fast.node_id, fast.component)) == truth
