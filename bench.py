@@ -114,7 +114,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             columns=["url", "warc_ts", "html", "lang"],
             override_num_blocks=max(64, num_cpus * 4),
         )
-        return build_kg(pages, batch_size=512).triples
+        # batch_size=2048: fewer object-store round trips per actor
+        # (measured 10.8 → 9.5 s on the extraction stage at 1M pages);
+        # sized for ~2-5 KB synthetic docs — at 100 TB with bigger docs
+        # keep batch × doc-size within the actor heap (the library
+        # default stays small for that reason)
+        return build_kg(pages, batch_size=2048).triples
 
     qs = dict(entrymod.queries())
     qs["kg_triples"] = kg_from_corpus

@@ -882,8 +882,42 @@ def embedding_neardup(
     )
     n = norm.count()
     n_blocks = max(1, -(-n // rows_per_block))
-    if n_blocks > 1:
-        norm = norm.repartition(n_blocks).materialize()
+    if n_blocks == 1:
+        # size-gated driver finish (same decision as CC / minhash): one
+        # block means one matmul — running it through a grid Dataset +
+        # sort pays ~3 s of pure stage latency for zero parallelism.
+        # Identical kernel and float op order as the distributed path.
+        tbls = [ray.get(r) for r in norm.to_arrow_refs()]
+        A = pa.concat_tables([t for t in tbls if t.num_rows])
+        if A.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vec_a": pa.array([], type=pa.int64()),
+                        "vec_b": pa.array([], type=pa.int64()),
+                        "cos_e4": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        ids = A["vec_id"].to_numpy(zero_copy_only=False)
+        Ae = _emb_matrix(A["emb"])
+        cos = Ae @ Ae.T
+        ii, jj = np.nonzero(cos >= threshold)
+        a, b = ids[ii], ids[jj]
+        keep = a < b
+        lo, hi = a[keep], b[keep]
+        ce = np.floor(cos[ii, jj][keep] * 1e4 + 0.5).astype(np.int64)
+        order = np.lexsort((hi, lo))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array(lo[order], type=pa.int64()),
+                    "vec_b": pa.array(hi[order], type=pa.int64()),
+                    "cos_e4": pa.array(ce[order], type=pa.int64()),
+                }
+            )
+        )
+    norm = norm.repartition(n_blocks).materialize()
     refs = [r for r in norm.to_arrow_refs()]
 
     grid = ray.data.from_items(
