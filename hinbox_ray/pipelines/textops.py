@@ -1495,7 +1495,11 @@ _WORDPIECE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
 
 
 def doc_jaccard_sample(
-    sf_dir: str, modulo: int = 2, threshold: float = 0.2
+    sf_dir: str,
+    modulo: int = 2,
+    threshold: float = 0.2,
+    *,
+    rows_per_block: int = 4096,
 ) -> ray.data.Dataset:
     """Exact all-pairs token-3-gram Jaccard over a deterministic sample
     (doc_id % modulo == 0): the ground-truth companion to the LSH path,
@@ -1521,26 +1525,36 @@ def doc_jaccard_sample(
             }
         )
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sampled = ds.map_batches(grams_batch, batch_format="pyarrow").materialize()
-    # sample is small by construction: broadcast it and scan pairs per batch
-    all_rows = sampled.take_all()
-    by_id = {r["doc_id"]: set(np.frombuffer(r["grams"], dtype=np.uint64)) for r in all_rows}
-    ids_sorted = sorted(by_id)
-
-    def pairs(batch: pa.Table) -> pa.Table:
+    def _pairs_tables(A: pa.Table, B: pa.Table, same: bool):
+        """All qualifying (a<b) Jaccard pairs between two gram tables."""
+        a_ids = A["doc_id"].to_numpy(zero_copy_only=False)
+        b_ids = B["doc_id"].to_numpy(zero_copy_only=False)
+        a_sets = [
+            set(np.frombuffer(x, dtype=np.uint64))
+            for x in A["grams"].to_pylist()
+        ]
+        b_sets = (
+            a_sets
+            if same
+            else [
+                set(np.frombuffer(x, dtype=np.uint64))
+                for x in B["grams"].to_pylist()
+            ]
+        )
         out_a, out_b, out_j = [], [], []
-        for a in batch["doc_id"].to_pylist():
-            sa = by_id[a]
-            for b in ids_sorted:
-                if b <= a:
+        for i, sa in enumerate(a_sets):
+            for k, sb in enumerate(b_sets):
+                a, b = int(a_ids[i]), int(b_ids[k])
+                if a >= b:  # one orientation; ids are globally unique
                     continue
-                sb = by_id[b]
                 j = len(sa & sb) / len(sa | sb)
                 if j >= threshold:
                     out_a.append(a)
                     out_b.append(b)
                     out_j.append(int(np.floor(j * 1e6 + 0.5)))
+        return out_a, out_b, out_j
+
+    def _table(out_a, out_b, out_j) -> pa.Table:
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
@@ -1549,23 +1563,63 @@ def doc_jaccard_sample(
             }
         )
 
-    out = sampled.select_columns(["doc_id"]).map_batches(
-        pairs, batch_format="pyarrow"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sampled = ds.map_batches(grams_batch, batch_format="pyarrow").materialize()
+
+    # blocked-grid plan (same shape as embedding_neardup): the sample
+    # never lands on the driver as a whole — blocks stay in the object
+    # store and each grid task ray.get()s exactly two. Size-gated
+    # driver finish below one block (pure stage latency otherwise).
+    n = sampled.count()
+    n_blocks = max(1, -(-n // rows_per_block))
+    if n_blocks == 1:
+        tbls = [t for t in ray.get(sampled.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return ray.data.from_arrow(_table([], [], []))
+        A = pa.concat_tables(tbls)
+        out_a, out_b, out_j = _pairs_tables(A, A, same=True)
+        order = np.lexsort((np.asarray(out_b), np.asarray(out_a))) if out_a else []
+        return ray.data.from_arrow(
+            _table(
+                [out_a[i] for i in order],
+                [out_b[i] for i in order],
+                [out_j[i] for i in order],
+            )
+        )
+
+    sampled = sampled.repartition(n_blocks).materialize()
+    refs = list(sampled.to_arrow_refs())
+    grid = ray.data.from_items(
+        [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
     )
+
+    def score_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            A = ray.get(refs[i])
+            B = A if j == i else ray.get(refs[j])
+            if A.num_rows == 0 or B.num_rows == 0:
+                continue
+            # blocks are not range-partitioned: evaluate BOTH
+            # orientations across blocks; the a<b guard inside keeps
+            # each unordered pair exactly once
+            a1, b1, j1 = _pairs_tables(A, B, same=(j == i))
+            out_a += a1
+            out_b += b1
+            out_j += j1
+            if j != i:
+                a2, b2, j2 = _pairs_tables(B, A, same=False)
+                out_a += a2
+                out_b += b2
+                out_j += j2
+        return _table(out_a, out_b, out_j)
+
+    out = grid.map_batches(score_pair, batch_size=4, batch_format="pyarrow")
     # well-typed even when no pair clears the threshold (an empty
     # untyped Dataset would fail the driver's schema comparison)
-    import ray.data as rd
-
-    empty = rd.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "jac_e6": pa.array([], type=pa.int64()),
-            }
-        )
+    return out.union(ray.data.from_arrow(_table([], [], []))).sort(
+        ["doc_a", "doc_b"]
     )
-    return out.union(empty).sort(["doc_a", "doc_b"])
 
 
 def doc_wordpiece_count(sf_dir: str) -> ray.data.Dataset:
