@@ -245,32 +245,62 @@ def extract_with_memo(
         mentions_fresh = data_rows.drop_columns(["memo_key"])
         _atomic_write_dir(data_rows, os.path.join(memo_dir, "data"))
 
-        # index rows: EVERY miss doc, including zero-mention ones
-        per_doc = (
-            mentions_fresh.groupby("url")
-            .count()
-            .to_pandas()
-            .set_index("url")["count()"]
-            if mentions_fresh.count()
-            else pd.Series(dtype=np.int64)
-        )
-
-        def idx_rows(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
+        # index rows: EVERY miss doc, including zero-mention ones.
+        # Per-url mention counts attach via a bucketed co-group — the
+        # old driver-side Series (one entry per miss url, then shipped
+        # into every task's closure) was a corpus-scale collect on
+        # exactly the resume path the memo exists to scale.
+        def tag_miss(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
                 {
                     "memo_key": df["memo_key"].astype(str),
                     "url": df["url"].astype(str),
-                    "n_mentions": df["url"]
-                    .map(per_doc)
+                    "n_mentions": np.int64(-1),
+                    "_src": np.int8(0),
+                }
+            )
+            out["_gbucket"] = key_buckets(out, ["url"], n_buckets)
+            return out
+
+        def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("url", sort=False).size()
+            out = pd.DataFrame(
+                {
+                    "memo_key": "",
+                    "url": g.index.astype(str),
+                    "n_mentions": g.to_numpy().astype(np.int64),
+                    "_src": np.int8(1),
+                }
+            )
+            out["_gbucket"] = key_buckets(out, ["url"], n_buckets)
+            return out
+
+        def attach_counts(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["_src"] == 0]
+            c = (
+                g[g["_src"] == 1]
+                .groupby("url", sort=False)["n_mentions"]
+                .sum()
+            )
+            return pd.DataFrame(
+                {
+                    "memo_key": m["memo_key"].astype(str).to_numpy(),
+                    "url": m["url"].astype(str).to_numpy(),
+                    "n_mentions": m["url"]
+                    .map(c)
                     .fillna(0)
-                    .astype(np.int64),
+                    .astype(np.int64)
+                    .to_numpy(),
                 }
             )
 
-        _atomic_write_dir(
-            misses.map_batches(idx_rows, batch_format="pandas"),
-            os.path.join(memo_dir, "index"),
+        tagged = misses.map_batches(tag_miss, batch_format="pandas").union(
+            mentions_fresh.map_batches(cnt_partial, batch_format="pandas")
         )
+        index_rows = tagged.groupby("_gbucket").map_groups(
+            attach_counts, batch_format="pandas"
+        )
+        _atomic_write_dir(index_rows, os.path.join(memo_dir, "index"))
         fresh = mentions_fresh
 
     replayed = None
