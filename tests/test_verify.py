@@ -166,3 +166,37 @@ def test_merge_stats_emitted(ray_session):
     assert s.skipped == (vd["verdict"] == SKIP).sum()
     assert s.disputed == (vd["verdict"] == DEFER).sum()
     assert s.total == s.new + s.merged + s.skipped + s.disputed + s.errors
+
+
+def test_raw_entities_small_and_bucketed_paths_match(ray_session):
+    """The size-gated single-task reduce must equal the bucketed
+    groupby path exactly (same gate pattern as CC/minhash)."""
+    import ray.data as rd
+
+    from hinbox_ray.sources.pages import generate_pages_table
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+    from hinbox_ray.stages.extract import extract_and_filter
+    from hinbox_ray.stages.mentions import extract_mentions
+    from hinbox_ray.stages.resolve import (
+        _KEY_COLS,
+        _combine_batch,
+        _regroup,
+        raw_entities,
+    )
+
+    mentions = extract_mentions(
+        extract_and_filter(rd.from_arrow(generate_pages_table(200))),
+        concurrency=2,
+    ).materialize()
+    small = raw_entities(mentions).to_pandas()
+    combined = mentions.map_batches(
+        _combine_batch, batch_format="pandas", batch_size=None
+    )
+    bucketed = bucketed_map_groups(
+        combined, _KEY_COLS, _regroup, n_buckets=16
+    ).to_pandas()
+    key = ["entity_type", "name", "attr_type", "start_date"]
+    a = small.sort_values(key).reset_index(drop=True)
+    b = bucketed.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
