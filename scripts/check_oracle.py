@@ -39,7 +39,18 @@ def to_pandas(res) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # list/vector columns (e.g. doc_embed.embedding) are unhashable —
+    # sort on the scalar columns only; the vector values are pinned by
+    # their derived scalar columns (l2norm_e6) and by unit tests
+    import numpy as np
+
+    sortable = [
+        c
+        for c in df.columns
+        if len(df) == 0
+        or not isinstance(df[c].iloc[0], (list, tuple, np.ndarray))
+    ]
+    return df.sort_values(sortable or list(df.columns)).reset_index(drop=True)
 
 
 def main() -> int:
