@@ -138,7 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": T.doc_lang_id,
         "doc_quality_score": T.doc_quality_score,
         "doc_fingerprint": T.doc_fingerprint,
-        "doc_embed": T.doc_embed,
+        # scalar projection for the driver: a list<float> column can't
+        # be value-hashed; l2norm_e6 pins the vectors deterministically
+        "doc_embed": lambda sf: T.doc_embed(sf).drop_columns(["embedding"]),
         "doc_minhash_neardup": T.doc_minhash_neardup,
         "doc_jaccard_sample": T.doc_jaccard_sample,
         "doc_wordpiece_count": T.doc_wordpiece_count,
