@@ -26,15 +26,26 @@ def main(argv=None) -> int:
     ap.add_argument("--limit", type=int, help="head-of-corpus limit (reference --limit)")
     ap.add_argument("--resume", action="store_true", help="checkpoint + resume extraction per partition")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--sharded-triples",
+        action="store_true",
+        help="write triples hash-sharded + per-shard sorted (multi-node "
+        "resume layout; default is the single-node-fastest global sort)",
+    )
     args = ap.parse_args(argv)
 
     import ray
 
     if not ray.is_initialized():
+        # No explicit address: under `ray job submit` the driver joins
+        # the submitting cluster; standalone it honors $RAY_ADDRESS
+        # (preset to "local" in this sandbox) or starts a local
+        # instance. Hardcoding address="local" would wrongly spin up a
+        # second Ray inside a cluster job.
         kwargs = {"include_dashboard": False}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        ray.init(**kwargs)
 
     import ray.data as rd
 
@@ -59,7 +70,11 @@ def main(argv=None) -> int:
             ap.error("--limit is incompatible with --resume (resume is per input shard)")
         run_extract_with_resume(args.pages, args.out, cfg)
         # writes {out}/triples atomically (tmp+rename)
-        result = resolve_from_checkpoint(args.out, cfg)
+        result = resolve_from_checkpoint(
+            args.out,
+            cfg,
+            sort_triples="sharded" if args.sharded_triples else "global",
+        )
         result.entities.drop_columns(["member_nodes"]).write_parquet(
             os.path.join(args.out, "entities")
         )
