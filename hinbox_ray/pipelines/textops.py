@@ -439,9 +439,21 @@ def _minhash_signatures(sf_dir: str) -> ray.data.Dataset:
         n = int(ray.cluster_resources().get("CPU", 4))
     else:
         n = 4
+    # cap the pool by the batch count (parquet metadata is free to
+    # read): spinning 16 actors for a 10-batch corpus pays ~2 s of
+    # startup for workers that never get a batch
+    try:
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        n_batches = max(1, -(-n_rows // 512))
+    except Exception:
+        n_batches = 1 << 30
     return ds.map_batches(
         _SignatureStage,
-        concurrency=max(2, n // 2),
+        concurrency=max(2, min(n // 2, n_batches)),
         batch_size=512,
         batch_format="pyarrow",
     )
