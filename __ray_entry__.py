@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": T.doc_token_stats,
         "doc_lang_id": T.doc_lang_id,
         "doc_quality_score": T.doc_quality_score,
+        "doc_quality_filter": T.doc_quality_filter,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projection for the driver: a list<float> column can't
         # be value-hashed; l2norm_e6 pins the vectors deterministically
@@ -201,6 +202,43 @@ def oracle_sql() -> dict[str, str]:
     from hinbox_ray.pipelines.textops import STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    _DOC_QUALITY_SQL = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(t)::BIGINT AS n_words,
+                       len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                         AS n_alpha_words,
+                       len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))::BIGINT
+                         AS n_symbol_words,
+                       coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                         AS sum_len,
+                       len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stop
+                FROM toks
+            ), f AS (
+                SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE (sum_len * 1000) // n_words END AS mean_word_len_e3,
+                       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+                        + CASE WHEN n_words > 0
+                                AND ((sum_len * 1000) // n_words < 3000
+                                     OR (sum_len * 1000) // n_words > 10000)
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN n_alpha_words * 10 < n_words * 8 THEN 1 ELSE 0 END
+                        + CASE WHEN n_symbol_words * 10 > n_words THEN 1 ELSE 0 END
+                        + CASE WHEN n_stop < 2 THEN 1 ELSE 0 END)::BIGINT AS quality_flags
+                FROM c
+            )
+            SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
+                   CAST(mean_word_len_e3 AS BIGINT) AS mean_word_len_e3,
+                   quality_flags,
+                   (CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)::BIGINT AS quality_pass
+            FROM f
+    """
     return {
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -286,43 +324,12 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stopwords
             FROM toks
         """,
-        "doc_quality_score": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
-                FROM documents
-            ), c AS (
-                SELECT doc_id,
-                       len(t)::BIGINT AS n_words,
-                       len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
-                         AS n_alpha_words,
-                       len(list_filter(t, x -> NOT regexp_matches(x, '[A-Za-z0-9]')))::BIGINT
-                         AS n_symbol_words,
-                       coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
-                         AS sum_len,
-                       len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stop
-                FROM toks
-            ), f AS (
-                SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
-                       CASE WHEN n_words = 0 THEN 0
-                            ELSE (sum_len * 1000) // n_words END AS mean_word_len_e3,
-                       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
-                        + CASE WHEN n_words > 0
-                                AND ((sum_len * 1000) // n_words < 3000
-                                     OR (sum_len * 1000) // n_words > 10000)
-                               THEN 1 ELSE 0 END
-                        + CASE WHEN n_alpha_words * 10 < n_words * 8 THEN 1 ELSE 0 END
-                        + CASE WHEN n_symbol_words * 10 > n_words THEN 1 ELSE 0 END
-                        + CASE WHEN n_stop < 2 THEN 1 ELSE 0 END)::BIGINT AS quality_flags
-                FROM c
-            )
-            SELECT doc_id, n_words, n_alpha_words, n_symbol_words,
-                   CAST(mean_word_len_e3 AS BIGINT) AS mean_word_len_e3,
-                   quality_flags,
-                   (CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)::BIGINT AS quality_pass
-            FROM f
-        """,
+        "doc_quality_score": _DOC_QUALITY_SQL,
+        # percentile quality gate: quality_pass AND n_words >= exact
+        # discrete median of the corpus (quantile_disc convention)
+        "doc_quality_filter": "WITH base AS (" + _DOC_QUALITY_SQL + ") "
+        "SELECT * FROM base WHERE quality_pass = 1 AND n_words >= "
+        "(SELECT quantile_disc(n_words, 0.5) FROM base) ORDER BY doc_id",
         "doc_minhash_neardup": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t

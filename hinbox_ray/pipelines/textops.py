@@ -217,6 +217,46 @@ def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def doc_quality_filter(sf_dir: str, q: float = 0.5) -> ray.data.Dataset:
+    """Percentile quality gate — the training-data curation composition:
+    keep documents that pass every quality rule AND whose word count is
+    at or above the corpus's exact q-quantile.
+
+    Two-pass plan: (1) score every doc (stateless map); (2) fold a
+    SPARSE word-count histogram (one Sum aggregate — distinct word
+    counts are bounded by max doc length, vocabulary-scale, so the
+    histogram is tiny on any corpus); compute the discrete quantile
+    cutoff from the histogram (DuckDB ``quantile_disc`` convention:
+    sorted 0-based index ``floor((n-1)·q)``); (3) vectorized filter.
+    No corpus-scale driver state — only the histogram leaves the
+    cluster."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    scored = doc_quality_score(sf_dir).materialize()
+    hist = (
+        scored.groupby("n_words")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_words")
+    )
+    total = int(hist["n"].sum())
+    if total == 0:
+        return scored
+    target = int(np.floor((total - 1) * q))  # 0-based sorted index
+    cum = hist["n"].cumsum().to_numpy()
+    cutoff = int(hist["n_words"].to_numpy()[int(np.searchsorted(cum, target + 1))])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = _pc.and_(
+            _pc.greater_equal(batch["n_words"], pa.scalar(cutoff, pa.int64())),
+            _pc.equal(batch["quality_pass"], pa.scalar(1, pa.int64())),
+        )
+        return batch.filter(m)
+
+    return scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID: argmax marker-word overlap, 'und' if none.
 
