@@ -143,6 +143,12 @@ class EmbeddingManager:
         self.local = local
         self._cache_enabled = cache_enabled and lru_max_items > 0
         self._lru = LRUCache(lru_max_items)
+        # Fingerprint of the provider that served the LAST batch — used
+        # only to pick the lookup namespace for the next batch. Stores
+        # always use the fingerprint recomputed from the batch that
+        # actually produced the vectors (reference manager.py:198-203,
+        # 265 recomputes per call), so a hybrid fallback mid-run can
+        # never cache model-B vectors under model-A's fingerprint.
         self._fingerprint: Optional[str] = None
 
     @staticmethod
@@ -163,24 +169,22 @@ class EmbeddingManager:
 
     # -- cache plumbing (reference :181-196) --
 
-    def _key(self, text: str) -> Optional[Tuple[str, str]]:
-        if not self._fingerprint:
+    @staticmethod
+    def _key(fp: Optional[str], text: str) -> Optional[Tuple[str, str]]:
+        if not fp:
             return None
-        return (
-            self._fingerprint,
-            hashlib.sha256(text.encode("utf-8")).hexdigest(),
-        )
+        return (fp, hashlib.sha256(text.encode("utf-8")).hexdigest())
 
-    def _lookup(self, text: str):
+    def _lookup(self, fp: Optional[str], text: str):
         if not self._cache_enabled:
             return None
-        key = self._key(text)
+        key = self._key(fp, text)
         return self._lru.get(key) if key else None
 
-    def _store(self, text: str, vec: List[float]) -> None:
+    def _store(self, fp: Optional[str], text: str, vec: List[float]) -> None:
         if not self._cache_enabled:
             return
-        key = self._key(text)
+        key = self._key(fp, text)
         if key:
             self._lru.set(key, vec)
 
@@ -216,9 +220,10 @@ class EmbeddingManager:
             return []
         results: List[Optional[List[float]]] = [None] * len(texts)
         miss_idx: List[int] = []
+        lookup_fp = self._fingerprint  # last-served model's namespace
         if use_cache and self._cache_enabled:
             for i, t in enumerate(texts):
-                hit = self._lookup(t)
+                hit = self._lookup(lookup_fp, t)
                 if hit is not None:
                     results[i] = hit
                 else:
@@ -237,14 +242,18 @@ class EmbeddingManager:
                     pos[t] = len(uniq)
                     uniq.append(t)
             batch = self._embed_misses(uniq)
-            self._fingerprint = self._fingerprint or fingerprint_from_result(
-                batch
-            )
+            # ADVICE r3 (medium): recompute the fingerprint from THIS
+            # batch's result — the provider that actually served it —
+            # and store under it; a write-once fingerprint poisons the
+            # cache across a hybrid fallback (model-B vectors filed and
+            # later served under model-A's key).
+            batch_fp = fingerprint_from_result(batch)
+            self._fingerprint = batch_fp
             for i in miss_idx:
                 vec = batch.embeddings[pos[texts[i]]]
                 results[i] = vec
                 if use_cache:
-                    self._store(texts[i], vec)
+                    self._store(batch_fp, texts[i], vec)
         return [r for r in results if r is not None]
 
     def embed_text(self, text: str, use_cache: bool = True) -> List[float]:
@@ -263,6 +272,11 @@ class EmbedTextStage:
 
         ds.map_batches(EmbedTextStage, fn_constructor_kwargs={...},
                        batch_format="pyarrow", concurrency=N)
+
+    ``dim`` must match the manager's output dimension (also when a
+    custom ``manager_factory`` is given): it pins the Arrow type of
+    empty blocks to the same fixed_size_list<float32, dim> as data
+    blocks, keeping schemas unifiable across the pipeline.
     """
 
     def __init__(
@@ -273,6 +287,7 @@ class EmbedTextStage:
         manager_factory: Optional[Callable[[], EmbeddingManager]] = None,
     ):
         self.text_col = text_col
+        self.dim = int(dim)
         if manager_factory is not None:
             self.manager = manager_factory()
         else:
@@ -286,7 +301,10 @@ class EmbedTextStage:
         vecs = self.manager.embed_batch(texts)
         arr = np.asarray(vecs, dtype=np.float32)
         if arr.size == 0:
-            emb = pa.array([], type=pa.list_(pa.float32()))
+            # ADVICE r3: empty blocks must carry the SAME Arrow type as
+            # non-empty ones (fixed_size_list<float32, dim>) or schema
+            # unification breaks when an empty block lands mid-pipeline
+            emb = pa.array([], type=pa.list_(pa.float32(), self.dim))
         else:
             emb = pa.FixedSizeListArray.from_arrays(
                 pa.array(arr.ravel(), type=pa.float32()), arr.shape[1]

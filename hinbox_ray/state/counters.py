@@ -53,12 +53,18 @@ def record_dropped_pairs(kind: str, n: int) -> None:
     handle is deliberately NOT cached per process: a cached handle to a
     previous session's killed actor would swallow increments silently,
     and truncations are rare enough that a per-drop GCS lookup is
-    noise."""
+    noise.
+
+    The add is AWAITED (ray.get), not fire-and-forget: a kernel task
+    can otherwise finish — letting the driver's ``.count()`` return and
+    ``snapshot()`` run — while its increment is still in flight, so the
+    stats JSON undercounts (ADVICE r3). One blocking RPC per truncated
+    bucket is noise by the same rarity argument as the lookup."""
     if n <= 0:
         return
     try:
         handle = ray.get_actor(_NAME, namespace=_NAMESPACE)
-        handle.add.remote(kind, int(n))
+        ray.get(handle.add.remote(kind, int(n)))
     except Exception:
         return
 

@@ -152,9 +152,45 @@ def test_cache_segregated_by_fingerprint():
     m2 = EmbeddingManager("cloud", cloud=p2)
     m2.embed_batch(["t"])
     assert c2["n"] == 1  # m2 did not see m1's vector
-    k1 = m1._key("t")
-    k2 = m2._key("t")
+    k1 = m1._key(m1._fingerprint, "t")
+    k2 = m2._key(m2._fingerprint, "t")
     assert k1 != k2
+
+
+def test_hybrid_fallback_does_not_poison_primary_cache():
+    """ADVICE r3 (medium): after a hybrid fallback, the fallback model's
+    vectors must be cached under ITS fingerprint, never the primary's,
+    and a recovered primary must not serve them."""
+    flaky = {"fail": True}
+
+    def cloud(texts):
+        if flaky["fail"]:
+            raise RuntimeError("cloud down")
+        return EmbeddingResult(
+            embeddings=[[1.0, 0.0] for _ in texts], model="cloud-m", dimension=2
+        )
+
+    def local(texts):
+        return EmbeddingResult(
+            embeddings=[[0.0, 1.0] for _ in texts], model="local-m", dimension=2
+        )
+
+    m = EmbeddingManager("hybrid", cloud=cloud, local=local)
+    v1 = m.embed_batch(["t"])[0]  # served by local fallback
+    assert v1 == [0.0, 1.0]
+    assert m._fingerprint == "local-m:2"
+    assert m._lookup("local-m:2", "t") == [0.0, 1.0]
+    assert m._lookup("cloud-m:2", "t") is None  # not filed under primary
+    # primary recovers: a NEW text embeds via cloud and files under cloud's fp
+    flaky["fail"] = False
+    v2 = m.embed_batch(["u"])[0]
+    assert v2 == [1.0, 0.0]
+    assert m._fingerprint == "cloud-m:2"
+    assert m._lookup("cloud-m:2", "u") == [1.0, 0.0]
+    # and the old text, looked up under the now-current cloud namespace,
+    # misses → re-embeds via cloud rather than serving the local vector
+    v3 = m.embed_batch(["t"])[0]
+    assert v3 == [1.0, 0.0]
 
 
 # ── the Ray stage ──
@@ -186,6 +222,21 @@ def test_embed_stage_in_pipeline(ray_session):
         ngram_embedding(src, dim=32),
         rtol=1e-6,
     )
+
+
+def test_embed_stage_empty_batch_keeps_fixed_size_list_type():
+    """ADVICE r3: an empty batch must emit the SAME Arrow type
+    (fixed_size_list<float32, dim>) as a non-empty one, or schema
+    unification breaks when an empty block lands mid-pipeline."""
+    import pyarrow as pa
+
+    stage = EmbedTextStage(text_col="text", dim=8)
+    empty = stage(pa.table({"text": pa.array([], type=pa.string())}))
+    full = stage(pa.table({"text": ["hello"]}))
+    assert empty.schema.field("embedding").type == full.schema.field(
+        "embedding"
+    ).type
+    assert full.schema.field("embedding").type == pa.list_(pa.float32(), 8)
 
 
 def test_embed_stage_dedupes_within_actor():

@@ -155,3 +155,19 @@ def test_sorted_triples_are_globally_distinct(ray_session):
     # the variant pairs truly merged (worst case exercised)
     n_people = len(res.entities.to_pandas().query("entity_type == 'people'"))
     assert n_people == 1
+
+
+def test_raw_entities_empty_corpus(ray_session):
+    """ADVICE r3: a zero-mention corpus must reduce to a typed empty
+    raw-entities frame, not crash on pd.concat([])."""
+    import ray.data as rd
+
+    from hinbox_ray.stages.mentions import MENTIONS_SCHEMA
+    from hinbox_ray.stages.resolve import raw_entities
+
+    empty = rd.from_arrow(MENTIONS_SCHEMA.empty_table())
+    out = raw_entities(empty)
+    assert out.count() == 0
+    # the DATASET schema stays typed (to_pandas drops columns on 0 rows)
+    names = out.schema().names
+    assert "node_id" in names and "n_mentions" in names
