@@ -199,9 +199,46 @@ def _kg_grounding(sf_dir: str) -> Any:
 
 
 def oracle_sql() -> dict[str, str]:
-    from hinbox_ray.pipelines.textops import STOPWORDS
+    from hinbox_ray.pipelines.textops import _LANG_MARKERS, STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    marker_values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_MARKERS)
+        for w in sorted(_LANG_MARKERS[lang])
+    )
+    # Per-doc 64-bit SimHash in pure SQL: token hash = md5_number_lower
+    # (== Python md5 digest[8:16] little-endian, the simhash64 token
+    # hash), per-(doc, bit) ±1 sums, bit set iff sum > 0. Shared by the
+    # doc_fingerprint and doc_simhash_neardup oracles.
+    _SIMHASH_CTE = """
+            toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, md5_number_lower(x) AS h
+                FROM toks, unnest(t) AS u(x)
+            ),
+            bitsum AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b
+            ),
+            sh AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN s > 0 THEN (1::UBIGINT << b)
+                                ELSE 0::UBIGINT END)::UBIGINT AS simhash
+                FROM bitsum GROUP BY doc_id
+            ),
+            allsh AS (
+                SELECT d.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+                FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+            )
+    """
     _DOC_QUALITY_SQL = f"""
             WITH toks AS (
                 SELECT doc_id,
@@ -323,6 +360,65 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_token_len,
                    len(list_filter(t, x -> x IN ({stop_list})))::BIGINT AS n_stopwords
             FROM toks
+        """,
+        "doc_lang_id": f"""
+            WITH markers(lang, w) AS (VALUES {marker_values}),
+            toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, x FROM toks, unnest(t) AS u(x)),
+            hits AS (
+                SELECT tok.doc_id, m.lang, count(*) AS h
+                FROM tok JOIN markers m ON tok.x = m.w
+                GROUP BY tok.doc_id, m.lang
+            ),
+            best AS (
+                SELECT doc_id, lang, h,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY h DESC, lang
+                       ) AS rn
+                FROM hits
+            )
+            SELECT t.doc_id,
+                   coalesce(b.lang, 'und') AS lang_pred,
+                   coalesce(b.h, 0)::BIGINT AS n_marker_hits,
+                   len(t.t)::BIGINT AS n_tokens
+            FROM toks t
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.doc_id = b.doc_id
+            ORDER BY t.doc_id
+        """,
+        "doc_fingerprint": f"""
+            WITH {_SIMHASH_CTE},
+            roll AS (
+                SELECT doc_id,
+                       list_reduce(
+                           list_prepend(0::HUGEINT,
+                               list_transform(t, x -> md5_number_lower(x)::HUGEINT)),
+                           (h, x) -> (h * 1000003 + x) % 2305843009213693951
+                       ) AS rh
+                FROM toks
+            )
+            SELECT a.doc_id,
+                   lower(lpad(to_hex(a.simhash), 16, '0')) AS simhash,
+                   lower(lpad(to_hex(coalesce(r.rh, 0)::UBIGINT), 16, '0'))
+                     AS rolling_hash
+            FROM allsh a LEFT JOIN roll r ON a.doc_id = r.doc_id
+            ORDER BY a.doc_id
+        """,
+        # exact truth set: banded SimHash with 4×16-bit bands has
+        # guaranteed recall for hamming ≤ 3 (pigeonhole), so the Ray
+        # LSH path equals the all-pairs SQL scan exactly
+        "doc_simhash_neardup": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
         """,
         "doc_quality_score": _DOC_QUALITY_SQL,
         # percentile quality gate: quality_pass AND n_words >= exact

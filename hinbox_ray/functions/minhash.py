@@ -113,16 +113,27 @@ def signature_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash64(tokens: Sequence[str]) -> int:
-    """64-bit SimHash (Charikar 2002) over tokens."""
+    """64-bit SimHash (Charikar 2002) over the token sequence.
+
+    Token hash = bytes [8:16] of md5, little-endian — exactly DuckDB's
+    ``md5_number_lower(token)``, which makes the whole fingerprint
+    SQL-expressible: the ``doc_fingerprint`` and ``doc_simhash_neardup``
+    oracles in ``__ray_entry__.py`` recompute it per doc in DuckDB
+    (round-3 VERDICT #1: oracle coverage for the rows-only entries).
+    """
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    # one (n_tokens × 64) bit matrix instead of a per-token Python loop
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:

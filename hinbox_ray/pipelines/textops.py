@@ -260,27 +260,31 @@ def doc_quality_filter(sf_dir: str, q: float = 0.5) -> ray.data.Dataset:
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Heuristic language ID: argmax marker-word overlap, 'und' if none.
 
-    Deterministic tie-break = lexicographic language code. (Rows-only
-    correctness check: the heuristic is not SQL-expressible.)
+    Deterministic tie-break = lexicographic language code (strict
+    ``hits > best`` over sorted langs). All-integer output
+    (n_marker_hits / n_tokens instead of a float ratio) so the DuckDB
+    oracle — a marker VALUES table joined against unnested tokens —
+    hash-matches exactly (oracle-backed since round 4).
     """
 
     def lid(batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
+        preds, hits_out, ntoks = [], [], []
         for text in batch["text"].to_pylist():
             toks = _tokens(text.lower())
-            n = len(toks)
             best_lang, best = "und", 0
             for lang in sorted(_LANG_MARKERS):
                 hits = sum(t in _LANG_MARKERS[lang] for t in toks)
                 if hits > best:
                     best, best_lang = hits, lang
             preds.append(best_lang)
-            confs.append(round(best / n, 4) if n else 0.0)
+            hits_out.append(best)
+            ntoks.append(len(toks))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(preds, type=pa.string()),
-                "marker_ratio": pa.array(confs, type=pa.float64()),
+                "n_marker_hits": pa.array(hits_out, type=pa.int64()),
+                "n_tokens": pa.array(ntoks, type=pa.int64()),
             }
         )
 
@@ -345,7 +349,12 @@ def doc_embed(
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
-    """SimHash-64 + polynomial rolling hash per document (hex strings)."""
+    """SimHash-64 + polynomial rolling hash per document (hex strings).
+
+    Token hash = md5 bytes [8:16] little-endian = DuckDB's
+    ``md5_number_lower``; the rolling fold is ``list_reduce`` with
+    HUGEINT mod arithmetic in the oracle SQL — hash-exact across both
+    engines (oracle-backed since round 4)."""
     from ..functions.minhash import simhash64
 
     MOD = (1 << 61) - 1
@@ -358,9 +367,7 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
             sims.append(f"{simhash64(toks):016x}")
             h = 0
             for t in toks:
-                th = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                )
+                th = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
                 h = (h * BASE + th) % MOD
             rolls.append(f"{h:016x}")
         return pa.table(
