@@ -169,8 +169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top3_per_customer": A.orders_top3_per_customer,
         "supplier_count_by_nation": A.supplier_count_by_nation,
         "part_filter_like": A.part_filter_like,
-        # --- multimodal (stubbed decode, real Ray plumbing)
+        # --- multimodal: real pure-numpy codecs (PPM / WAV / Y4M) over
+        #     closed-form synthetic payloads; oracle SQL recomputes the
+        #     features from the same (doc_id, offset) byte formulas
         "multimodal_features": _multimodal_features,
+        "multimodal_audio_stats": _multimodal_audio_stats,
+        "multimodal_frame_sample": _multimodal_frame_sample,
     }
 
 
@@ -178,6 +182,18 @@ def _multimodal_features(sf_dir: str) -> Any:
     from hinbox_ray.stages.multimodal import multimodal_features
 
     return multimodal_features(sf_dir)
+
+
+def _multimodal_audio_stats(sf_dir: str) -> Any:
+    from hinbox_ray.stages.multimodal import multimodal_audio_stats
+
+    return multimodal_audio_stats(sf_dir)
+
+
+def _multimodal_frame_sample(sf_dir: str) -> Any:
+    from hinbox_ray.stages.multimodal import multimodal_frame_sample
+
+    return multimodal_frame_sample(sf_dir)
 
 
 def _kg_profiles(sf_dir: str) -> Any:
@@ -694,5 +710,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_name,
                    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_e2
             FROM part WHERE p_name LIKE '%red%'
+        """,
+        # multimodal composed oracles: the synthetic payload bytes are a
+        # closed form of (doc_id, offset) — see stages/multimodal.py —
+        # so SQL regenerates the decoded features exactly; mean_e4 uses
+        # the exact integer rounding (s*20000 + n) // (2n)
+        "multimodal_features": """
+            WITH d AS (
+                SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT doc_id, w, h, j % 3 AS c,
+                       (doc_id * 131 + j * 7919) % 256 AS v
+                FROM d, unnest(range(w * h * 3)) AS u(j)
+            ),
+            s AS (
+                SELECT doc_id, w, h, c, SUM(v) AS sv
+                FROM px GROUP BY doc_id, w, h, c
+            )
+            SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+                   ((MAX(CASE WHEN c = 0 THEN sv END) * 20000 + w * h)
+                      // (2 * w * h))::BIGINT AS mean_r_e4,
+                   ((MAX(CASE WHEN c = 1 THEN sv END) * 20000 + w * h)
+                      // (2 * w * h))::BIGINT AS mean_g_e4,
+                   ((MAX(CASE WHEN c = 2 THEN sv END) * 20000 + w * h)
+                      // (2 * w * h))::BIGINT AS mean_b_e4,
+                   TRUE AS decode_ok
+            FROM s GROUP BY doc_id, w, h ORDER BY doc_id
+        """,
+        "multimodal_audio_stats": """
+            WITH d AS (
+                SELECT doc_id, 4000 + (doc_id % 7) * 1000 AS n FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n, ((doc_id * 7 + i * 13) % 4096) - 2048 AS v
+                FROM d, unnest(range(n)) AS u(i)
+            )
+            SELECT doc_id, 8000::BIGINT AS sample_rate, n::BIGINT AS n_samples,
+                   SUM(ABS(v))::BIGINT AS sum_abs,
+                   MAX(ABS(v))::BIGINT AS peak_abs,
+                   TRUE AS decode_ok
+            FROM s GROUP BY doc_id, n ORDER BY doc_id
+        """,
+        "multimodal_frame_sample": """
+            WITH d AS (
+                SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                       3 + doc_id % 5 AS nf
+                FROM documents
+            ),
+            samp AS (
+                SELECT doc_id, w, h, nf, (i * nf) // least(4, nf) AS fr
+                FROM d, unnest(range(least(4, nf))) AS u(i)
+            )
+            SELECT doc_id, fr::BIGINT AS frame_idx, nf::BIGINT AS n_frames,
+                   SUM((doc_id + fr * 17 + j * 3) % 256)::BIGINT AS sum_luma
+            FROM samp, unnest(range(w * h)) AS u(j)
+            GROUP BY doc_id, fr, nf
+            ORDER BY doc_id, frame_idx
         """,
     }

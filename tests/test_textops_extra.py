@@ -66,41 +66,105 @@ def test_multimodal_decode_deterministic(ray_session):
     b = multimodal_features(SF).to_pandas()
     assert a.equals(b)
     assert a["decode_ok"].all()
-    assert (a["width"] >= 32).all() and (a["height"] >= 32).all()
-    # mean luma of uniform bytes ≈ 127.5
-    assert abs(a["luma_e4"].mean() / 1e4 - 127.5) < 5
+    assert (a["width"] >= 16).all() and (a["height"] >= 16).all()
+    # near-uniform byte formula → per-channel means ≈ 127.5
+    assert abs(a["mean_g_e4"].mean() / 1e4 - 127.5) < 8
+
+
+def test_ppm_decoder_on_known_bytes():
+    """Real-format pin: a hand-built Netpbm P6 file — with a header
+    comment and multi-space separators — decodes to the exact pixels."""
+    import numpy as np
+
+    from hinbox_ray.stages.multimodal import decode_ppm
+
+    pix = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    payload = b"P6\n# a comment\n3  2\n255\n" + pix
+    w, h, arr = decode_ppm(payload)
+    assert (w, h) == (3, 2)
+    assert arr.shape == (2, 3, 3)
+    assert arr.tobytes() == pix
+    # malformed inputs → None, never an exception
+    assert decode_ppm(b"garbage") is None
+    assert decode_ppm(b"") is None
+    assert decode_ppm(b"P6\n3 2\n255\n" + pix[:5]) is None  # truncated
+    assert decode_ppm(b"P6\n3 2\n65535\n" + pix) is None  # 16-bit maxval
+
+
+def test_wav_decoder_against_stdlib_wave():
+    """The RIFF/PCM16 parser agrees with Python's stdlib `wave` reader
+    on our generated payloads — pins that the blobs are REAL WAV files,
+    not a private format."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from hinbox_ray.stages.multimodal import decode_wav, synthesize_audio_blob
+
+    blob = synthesize_audio_blob(13)
+    rate, n_ch, samples = decode_wav(blob)
+    with wave.open(io.BytesIO(blob)) as wf:
+        assert wf.getframerate() == rate
+        assert wf.getnchannels() == n_ch
+        assert wf.getsampwidth() == 2
+        ref = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    np.testing.assert_array_equal(samples, ref)
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(b"") is None
+
+
+def test_y4m_decoder_on_known_bytes():
+    import numpy as np
+
+    from hinbox_ray.stages.multimodal import decode_y4m
+
+    f0 = bytes([1] * 6)
+    f1 = bytes([9] * 6)
+    payload = (
+        b"YUV4MPEG2 W3 H2 F25:1 Ip A1:1 Cmono\n"
+        b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    w, h, frames = decode_y4m(payload)
+    assert (w, h, len(frames)) == (3, 2, 2)
+    np.testing.assert_array_equal(frames[1], np.frombuffer(f1, np.uint8))
+    assert decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + f0) is None  # not mono
+    assert decode_y4m(b"nope") is None
 
 
 def test_multimodal_corrupt_payload_never_poisons_block():
-    from hinbox_ray.stages.multimodal import ImageDecodeStage
+    from hinbox_ray.stages.multimodal import AudioDecodeStage, ImageDecodeStage
 
-    stage = ImageDecodeStage()
     batch = pa.table(
         {
             "doc_id": pa.array([1, 2], type=pa.int64()),
             "payload": pa.array([b"garbage", b""], type=pa.binary()),
         }
     )
-    out = stage(batch)
+    out = ImageDecodeStage()(batch)
+    assert out["decode_ok"].to_pylist() == [False, False]
+    out = AudioDecodeStage()(batch)
     assert out["decode_ok"].to_pylist() == [False, False]
 
 
 def test_frame_sample_stage():
     from hinbox_ray.stages.multimodal import (
         FrameSampleStage,
-        synthesize_media_blob,
+        synthesize_video_blob,
     )
 
+    # doc 7: n_frames = 3 + 7%5 = 5, k_eff = 4 → frames (0,1,2,3)·5//4
     stage = FrameSampleStage(k=4)
     batch = pa.table(
         {
             "doc_id": pa.array([7], type=pa.int64()),
-            "payload": pa.array([synthesize_media_blob(7)], type=pa.binary()),
+            "payload": pa.array([synthesize_video_blob(7)], type=pa.binary()),
         }
     )
     out = stage(batch)
     assert out.num_rows == 4
     assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
+    assert out["n_frames"].to_pylist() == [5, 5, 5, 5]
 
 
 def test_minhash_dataset_path_matches_driver_path(ray_session):
