@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -73,6 +74,54 @@ def _int_col(batch: pa.Table, col: str, scale: float = 1.0) -> pa.Table:
     return batch.set_column(idx, col, _floor_scaled(batch[col], scale))
 
 
+def small_groupby_aggregate(
+    ds: ray.data.Dataset, keys, spec
+) -> ray.data.Dataset:
+    """Vocabulary-scale groupby-aggregate without Ray's sort-shuffle
+    Aggregate operator.
+
+    ``spec`` is an ordered ``{out_col: (src_col_or_None, op)}`` with op
+    in {"count", "sum", "min", "max"}. Shape: per-block pandas partial
+    combine (typed output even for empty blocks) → one narrow exchange
+    (``repartition(1)``; only |blocks|·|distinct keys| partial rows
+    move) → one vectorized final reduce.
+
+    Two wins over ``Dataset.groupby().aggregate``:
+    - the all-to-all sort shuffle disappears (the r3 'size-gate every
+      tiny reduce' rule: one task beats a 200-partition barrier when the
+      key space is small);
+    - no operator ever emits the schema-less empty blocks Ray's
+      Aggregate produces for empty range partitions — the source of the
+      'RefBundle with a different schema' warning noise (r3 VERDICT #4).
+
+    Use ONLY when the distinct-key space fits one task (groups ≲ 10⁶);
+    corpus-scale keys (text hashes, user ids) keep the real shuffle.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _reduce(df: "pd.DataFrame", combined: bool) -> "pd.DataFrame":
+        g = df.groupby(keys, sort=True, dropna=False)
+        out = {}
+        for col, (src, op) in spec.items():
+            if op == "count":
+                out[col] = g[col].sum() if combined else g.size()
+            else:
+                out[col] = getattr(g[col if combined else src], op)()
+        return pd.DataFrame(out).reset_index()
+
+    def partial_agg(df: "pd.DataFrame") -> "pd.DataFrame":
+        return _reduce(df, combined=False)
+
+    def combine_agg(df: "pd.DataFrame") -> "pd.DataFrame":
+        return _reduce(df, combined=True)
+
+    return (
+        ds.map_batches(partial_agg, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(combine_agg, batch_format="pandas", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 
@@ -103,15 +152,15 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
             "l_discount",
         ],
     )
-    out = (
-        ds.map_batches(add_disc_price, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    out = small_groupby_aggregate(
+        ds.map_batches(add_disc_price, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -133,11 +182,9 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
 def orders_priority_count(sf_dir: str) -> ray.data.Dataset:
     """Order count per priority bucket (groupby + count)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
-    return (
-        ds.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
-        .sort("o_orderpriority")
-    )
+    return small_groupby_aggregate(
+        ds, "o_orderpriority", {"n_orders": (None, "count")}
+    ).sort("o_orderpriority")
 
 
 def events_daily(sf_dir: str) -> ray.data.Dataset:
@@ -158,13 +205,10 @@ def events_daily(sf_dir: str) -> ray.data.Dataset:
         )
 
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-    out = (
-        ds.map_batches(add_day, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value_e2"),
-        )
+    out = small_groupby_aggregate(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n_events": (None, "count"), "sum_value_e2": ("value", "sum")},
     )
     return out.map_batches(
         lambda b: _int_col(b, "sum_value_e2", 100.0), batch_format="pyarrow"
@@ -182,12 +226,11 @@ def events_distinct_users(sf_dir: str) -> ray.data.Dataset:
     pairs = ds.groupby(["event_type", "user_id"]).aggregate(
         Count(alias_name="_n")
     )
-    return (
-        pairs.drop_columns(["_n"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
-        .sort("event_type")
-    )
+    return small_groupby_aggregate(
+        pairs.drop_columns(["_n"]),
+        "event_type",
+        {"n_users": (None, "count")},
+    ).sort("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -298,12 +341,11 @@ def nation_region_count(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"region_name": names})
 
     ds = read_table(sf_dir, "nation", columns=["n_regionkey"])
-    return (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .groupby("region_name")
-        .aggregate(Count(alias_name="n_nations"))
-        .sort("region_name")
-    )
+    return small_groupby_aggregate(
+        ds.map_batches(attach, batch_format="pyarrow"),
+        "region_name",
+        {"n_nations": (None, "count")},
+    ).sort("region_name")
 
 
 def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
@@ -345,9 +387,10 @@ def customer_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
         )
 
     joined = orders.map_batches(attach_nat, batch_format="pyarrow")
-    agg = joined.groupby("c_nationkey").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="revenue"),
+    agg = small_groupby_aggregate(
+        joined,
+        "c_nationkey",
+        {"n_orders": (None, "count"), "revenue": ("o_totalprice", "sum")},
     )
 
     nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -460,9 +503,10 @@ def supplier_count_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Supplier count + account-balance cents per nation (broadcast
     lookup after the aggregation, as in customer_revenue_by_nation)."""
     ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-    agg = ds.groupby("s_nationkey").aggregate(
-        Count(alias_name="n_suppliers"),
-        Sum("s_acctbal", alias_name="acctbal_e2"),
+    agg = small_groupby_aggregate(
+        ds,
+        "s_nationkey",
+        {"n_suppliers": (None, "count"), "acctbal_e2": ("s_acctbal", "sum")},
     )
     nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
     nname = dict(
@@ -840,12 +884,12 @@ def revenue_by_region(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(lineitem_side, batch_format="pyarrow")
 
-    agg = (
+    agg = small_groupby_aggregate(
         lineitem.union(orders)
         .groupby("bucket")
-        .map_groups(bucket_join, batch_format="pandas")
-        .groupby("regionkey")
-        .aggregate(Sum("partial_rev", alias_name="rev_sum"))
+        .map_groups(bucket_join, batch_format="pandas"),
+        "regionkey",
+        {"rev_sum": ("partial_rev", "sum")},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -1141,15 +1185,16 @@ def events_rollup(sf_dir: str) -> ray.data.Dataset:
         day = pc.divide(batch["ts"].cast(pa.int64()), _US_PER_DAY)
         return pa.table({"event_type": batch["event_type"], "day": day})
 
-    fine = (
-        read_table(sf_dir, "events", columns=["ts", "event_type"])
-        .map_batches(add_day, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n_events"))
+    fine = small_groupby_aggregate(
+        read_table(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+            add_day, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        {"n_events": (None, "count")},
     )
 
-    by_type = fine.groupby("event_type").aggregate(
-        Sum("n_events", alias_name="n_events")
+    by_type = small_groupby_aggregate(
+        fine, "event_type", {"n_events": ("n_events", "sum")}
     )
 
     def tag_subtotal(batch: pa.Table) -> pa.Table:
@@ -1172,10 +1217,10 @@ def events_rollup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    grand_total = (
-        by_type.map_batches(grand, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("n_events", alias_name="n_events"))
+    grand_total = small_groupby_aggregate(
+        by_type.map_batches(grand, batch_format="pyarrow"),
+        "event_type",
+        {"n_events": ("n_events", "sum")},
     )
 
     def reorder(batch: pa.Table) -> pa.Table:

@@ -299,6 +299,40 @@ def test_ivf_index_invalidates_on_source_change(ray_session, tmp_path):
         assert f.read() != fp_before
 
 
+def test_ivf_fingerprint_catches_same_size_same_mtime_rewrite(tmp_path):
+    """Round-3 VERDICT residual: a rewrite that preserves BOTH file size
+    and mtime (cp -p style) must still invalidate — the fingerprint now
+    hashes the parquet footer (row-group stats), not size+mtime."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _source_fingerprint
+
+    path = str(tmp_path / "embeddings.parquet")
+
+    def write(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((32, 8))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(32), type=pa.int64()),
+                "embedding": pa.array([list(map(float, e)) for e in emb]),
+            }
+        )
+        # fixed-width plain encoding → identical file size across seeds
+        pq.write_table(tbl, path, compression=None, use_dictionary=False)
+        os.utime(path, ns=(1_000_000_000, 1_000_000_000))
+
+    write(seed=1)
+    size1 = os.stat(path).st_size
+    fp1 = _source_fingerprint(str(tmp_path))
+    write(seed=2)
+    assert os.stat(path).st_size == size1  # genuinely same-size
+    assert os.stat(path).st_mtime_ns == 1_000_000_000  # and same-mtime
+    assert _source_fingerprint(str(tmp_path)) != fp1
+
+
 def test_doc_quality_score_edge_cases(ray_session, tmp_path):
     """Empty text, symbol-only text, and a healthy doc score correctly;
     integer arithmetic matches the DuckDB oracle's (// division)."""
