@@ -139,8 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_score": T.doc_quality_score,
         "doc_quality_filter": T.doc_quality_filter,
         "doc_fingerprint": T.doc_fingerprint,
-        # scalar projection for the driver: a list<float> column can't
-        # be value-hashed; l2norm_e6 pins the vectors deterministically
+        # scalar projections for the driver: a list<float> column can't
+        # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
+        # vectors exactly — oracle-backed since round 4
         "doc_embed": lambda sf: T.doc_embed(sf).drop_columns(["embedding"]),
         "doc_minhash_neardup": T.doc_minhash_neardup,
         "doc_jaccard_sample": T.doc_jaccard_sample,
@@ -435,6 +436,43 @@ def oracle_sql() -> dict[str, str]:
             FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        # doc_embed: md5-hashed char-3-gram signed-count embedding —
+        # grams over chr(2)||text||chr(3) padding (functions/hashing.
+        # char_ngrams), bucket = md5_number_lower(gram) % dim, sign =
+        # bit 32; invariants are exact integers (+ one IEEE sqrt)
+        "doc_embed": """
+            WITH p AS (
+                SELECT doc_id, chr(2) || text || chr(3) AS s FROM documents
+            ),
+            g AS (
+                SELECT doc_id, substr(s, i, 3) AS gram
+                FROM p, unnest(range(1, greatest(len(s) - 1, 2))) AS u(i)
+            ),
+            b AS (
+                SELECT doc_id,
+                       md5_number_lower(gram) % 64 AS idx,
+                       CASE WHEN (md5_number_lower(gram) >> 32) & 1 = 1
+                            THEN 1 ELSE -1 END AS sgn
+                FROM g
+            ),
+            c AS (
+                SELECT doc_id, idx, SUM(sgn) AS cnt
+                FROM b GROUP BY doc_id, idx
+            ),
+            f AS (
+                SELECT doc_id,
+                       SUM(cnt * cnt)::BIGINT AS l2sq,
+                       SUM(cnt * (idx + 1))::BIGINT AS wsum
+                FROM c GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(floor(sqrt(coalesce(f.l2sq, 0)::DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS l2norm_e6,
+                   coalesce(f.l2sq, 0)::BIGINT AS l2sq,
+                   coalesce(f.wsum, 0)::BIGINT AS wsum
+            FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+            ORDER BY d.doc_id
         """,
         "doc_quality_score": _DOC_QUALITY_SQL,
         # percentile quality gate: quality_pass AND n_words >= exact

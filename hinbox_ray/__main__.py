@@ -20,8 +20,21 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hinbox_ray")
-    ap.add_argument("--pages", required=True, help="pages parquet dir/file")
-    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--pages", help="pages parquet dir/file")
+    ap.add_argument("--out", help="output directory")
+    # domain-package scaffolding (§2.11; reference scripts/init_domain.py
+    # + list_domains.py) — these run WITHOUT a Ray session
+    ap.add_argument(
+        "--init-domain",
+        metavar="NAME",
+        help="scaffold configs/<NAME>/ (config.yaml + categories/ + prompts/) and exit",
+    )
+    ap.add_argument(
+        "--list-domains", action="store_true", help="list domain packages and exit"
+    )
+    ap.add_argument(
+        "--configs-dir", default="configs", help="domain-package root (default: configs)"
+    )
     ap.add_argument("--domain-config", help="domain config.yaml (optional)")
     ap.add_argument("--limit", type=int, help="head-of-corpus limit (reference --limit)")
     ap.add_argument("--resume", action="store_true", help="checkpoint + resume extraction per partition")
@@ -33,6 +46,19 @@ def main(argv=None) -> int:
         "resume layout; default is the single-node-fastest global sort)",
     )
     args = ap.parse_args(argv)
+
+    if args.init_domain or args.list_domains:
+        from .domains import init_domain, list_domains
+
+        if args.init_domain:
+            path = init_domain(args.init_domain, args.configs_dir)
+            print(f"created domain package: {path}", file=sys.stderr)
+        if args.list_domains:
+            for d in list_domains(args.configs_dir):
+                print(d)
+        return 0
+    if not args.pages or not args.out:
+        ap.error("--pages and --out are required (unless scaffolding domains)")
 
     import ray
 

@@ -96,6 +96,26 @@ def ngram_embedding(
     return vec.astype(dtype)
 
 
+def md5_ngram_embedding(
+    text: str, dim: int = 64, n: int = 3, dtype=np.float32
+) -> np.ndarray:
+    """Hashed char-n-gram SIGNED-COUNT vector, md5-based and
+    UNnormalized — the oracle-expressible sibling of
+    ``ngram_embedding`` (round-4: gives ``doc_embed`` an exact DuckDB
+    oracle).
+
+    Token hash = md5 bytes [8:16] little-endian == DuckDB
+    ``md5_number_lower(gram)``; bucket = h % dim; sign = bit 32.
+    Unnormalized integer counts (stored as float32) make every derived
+    invariant (l2sq, weighted sum) exact integer arithmetic on both
+    engines; cosine consumers are scale-invariant anyway."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for g in char_ngrams(text, n):
+        h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:], "little")
+        vec[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+    return vec.astype(dtype)
+
+
 def ngram_embedding_matrix(
     texts: Sequence[str], dim: int = 64, n: int = 3
 ) -> np.ndarray:

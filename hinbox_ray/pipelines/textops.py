@@ -306,8 +306,19 @@ def doc_embed(
     Pool sizing: default n_cpus − 2 (never full-width — an actor pool
     holding every CPU permanently starves the upstream read and the
     pipeline deadlocks; measured on the flagship, re-bitten here in a
-    4-CPU test session)."""
-    from ..stages.embeddings import EmbedTextStage
+    4-CPU test session).
+
+    Round 4: the default provider is the md5-hashed signed-count
+    embedder (stages/embeddings.md5_count_provider) — UNnormalized
+    integer counts, so the emitted invariants (l2sq = Σcntᵢ², wsum =
+    Σcntᵢ·(i+1), l2norm_e6 = floor(√l2sq·1e6+.5)) are exact integer
+    arithmetic (plus one IEEE sqrt) that the DuckDB oracle recomputes
+    from the same char-3-grams — the query is oracle-backed, replacing
+    the old vacuous all-1.0 norm pin. Cosine consumers are
+    scale-invariant, so unnormalized vectors lose nothing."""
+    from functools import partial
+
+    from ..stages.embeddings import EmbedTextStage, build_md5_count_manager
 
     if concurrency is None:
         n_cpus = (
@@ -326,24 +337,32 @@ def doc_embed(
             mat = np.zeros((0, dim), dtype=np.float32)
         else:
             mat = col.values.to_numpy(zero_copy_only=False).reshape(n, -1)
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        return batch.append_column(
+        ints = np.rint(mat).astype(np.int64)  # exact: counts stored as f32
+        l2sq = np.einsum("ij,ij->i", ints, ints)
+        wsum = ints @ np.arange(1, ints.shape[1] + 1, dtype=np.int64)
+        norms = np.sqrt(l2sq.astype(np.float64))
+        batch = batch.append_column(
             "l2norm_e6",
             pa.array(np.floor(norms * 1e6 + 0.5).astype(np.int64)),
         )
+        batch = batch.append_column("l2sq", pa.array(l2sq))
+        return batch.append_column("wsum", pa.array(wsum))
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (
         ds.map_batches(
             EmbedTextStage,
-            fn_constructor_kwargs={"dim": dim},
+            fn_constructor_kwargs={
+                "dim": dim,
+                "manager_factory": partial(build_md5_count_manager, dim=dim),
+            },
             batch_format="pyarrow",
             batch_size=256,
             concurrency=concurrency,
             num_cpus=1,
         )
         .map_batches(finish, batch_format="pyarrow")
-        .select_columns(["doc_id", "embedding", "l2norm_e6"])
+        .select_columns(["doc_id", "embedding", "l2norm_e6", "l2sq", "wsum"])
         .sort("doc_id")
     )
 

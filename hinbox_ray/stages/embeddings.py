@@ -100,6 +100,32 @@ def deterministic_provider(dim: int = 64, model: str = "ngram-hash-v1"):
     return embed
 
 
+def md5_count_provider(dim: int = 64, model: str = "ngram-md5-counts-v1"):
+    """Oracle-expressible provider: md5-hashed char-3-gram signed counts
+    (functions/hashing.md5_ngram_embedding). Used by the doc_embed
+    toolbox op so its output carries exact integer invariants the DuckDB
+    oracle recomputes."""
+    from ..functions.hashing import md5_ngram_embedding
+
+    def embed(texts: Sequence[str]) -> EmbeddingResult:
+        return EmbeddingResult(
+            embeddings=[
+                [float(x) for x in md5_ngram_embedding(t, dim=dim)]
+                for t in texts
+            ],
+            model=model,
+            dimension=dim,
+        )
+
+    return embed
+
+
+def build_md5_count_manager(dim: int = 64) -> "EmbeddingManager":
+    """Module-level manager factory (picklable into actor constructors)."""
+    p = md5_count_provider(dim=dim)
+    return EmbeddingManager(cloud=p, local=p)
+
+
 def make_fingerprint(model: Optional[str], dim: Optional[int]) -> Optional[str]:
     """model+dim fingerprint (reference manager.py:334-339): vectors
     cached under one fingerprint are never served for another model."""

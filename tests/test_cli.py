@@ -62,3 +62,38 @@ def test_cli_end_to_end(tmp_path, sharded):
     # lineage manifests exist → a re-run would resume
     assert os.path.isdir(os.path.join(out, "_lineage"))
     assert os.path.exists(os.path.join(out, "merge_stats.json"))
+
+
+def test_domain_scaffolding(tmp_path):
+    """§2.11 parity: init-domain creates a loadable package; list-domains
+    enumerates it; duplicates and bad names are refused (reference
+    scripts/init_domain.py:11-53)."""
+    import pytest as _pytest
+
+    from hinbox_ray.__main__ import main
+    from hinbox_ray.config import DomainConfig
+    from hinbox_ray.domains import init_domain, list_domains
+
+    cdir = str(tmp_path / "configs")
+    rc = main(["--init-domain", "mydomain", "--configs-dir", cdir])
+    assert rc == 0
+    cfg = DomainConfig.from_yaml(os.path.join(cdir, "mydomain", "config.yaml"))
+    assert cfg.domain == "mydomain"
+    assert cfg.threshold("people") == 0.82
+    for sub in ("categories", "prompts"):
+        assert len(os.listdir(os.path.join(cdir, "mydomain", sub))) == 4
+    assert list_domains(cdir) == ["mydomain"]
+    with _pytest.raises(FileExistsError):
+        init_domain("mydomain", cdir)
+    with _pytest.raises(ValueError):
+        init_domain("bad-name!", cdir)
+    # a user-shipped template dir is copied verbatim
+    os.makedirs(os.path.join(cdir, "template"))
+    with open(os.path.join(cdir, "template", "config.yaml"), "w") as f:
+        f.write("domain: fromtemplate\n")
+    init_domain("copyme", cdir)
+    assert (
+        DomainConfig.from_yaml(os.path.join(cdir, "copyme", "config.yaml")).domain
+        == "fromtemplate"
+    )
+    assert list_domains(cdir) == ["copyme", "mydomain"]
