@@ -55,6 +55,32 @@ def _kg_entities(sf_dir: str) -> Any:
     ).sort(["entity_id"])
 
 
+def _kg_triples_planted(sf_dir: str) -> Any:
+    """The FULL flagship pipeline (fused html→text, actor-pool mention
+    extraction + within-doc QC/collapse, containment/LSH blocking, pair
+    verification, connected components, canonical election, distinct +
+    global sort) over the md5-planted corpus (sources/planted.py) — the
+    one KG entry whose ground-truth triple set DuckDB derives
+    independently, so the driver value-hashes the whole graph."""
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_dataset
+
+    return build_kg(planted_pages_dataset(sf_dir)).triples
+
+
+def _kg_entities_planted(sf_dir: str) -> Any:
+    """Canonical entity table of the planted flagship run — elections,
+    collapse-aware mention counts and first-seen provenance all
+    hash-checked against the SQL fixture."""
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_dataset
+
+    ents = build_kg(planted_pages_dataset(sf_dir)).entities
+    return ents.select_columns(
+        ["entity_id", "entity_type", "name", "n_mentions", "first_url"]
+    ).sort(["entity_id"])
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -112,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_triples_client": _kg_triples_client,
         "kg_entities": _kg_entities,
+        # the md5-planted flagship runs: full KG machinery, oracle-backed
+        "kg_triples_planted": _kg_triples_planted,
+        "kg_entities_planted": _kg_entities_planted,
         "pages_extract_text": _pages_extract_text,
         "kg_pair_verdicts": _kg_pair_verdicts,
         "kg_profiles": _kg_profiles,
@@ -293,7 +322,17 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)::BIGINT AS quality_pass
             FROM f
     """
+    from hinbox_ray.sources.planted import (
+        entities_oracle_sql,
+        triples_oracle_sql,
+    )
+
     return {
+        # flagship KG over the md5-planted corpus: DuckDB independently
+        # rebuilds the ground-truth graph from the plant plan + the
+        # corpus-independent gazetteer fixture (sources/planted.py)
+        "kg_triples_planted": triples_oracle_sql(),
+        "kg_entities_planted": entities_oracle_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)      AS sum_qty,

@@ -40,6 +40,7 @@ import numpy as np
 from ..config import DomainConfig
 from .hashing import ngram_embedding
 from .names import (
+    ACRONYM_STOPWORDS,
     compute_acronym,
     is_acronym_form,
     is_low_quality_name,
@@ -153,6 +154,19 @@ def blocking_keys(
     - ``b:`` MinHash-LSH band buckets over char-3-shingles of the
       match-normalized name (catches transliteration variants; the
       north rule's MinHash-LSH blocking)
+    - ``c:`` containment spans (orgs/locs): every contiguous token
+      sub-span (length ≥ 2, not all stopwords) of the normalized name,
+      plus the full name of ≥2-token entities — so whole-name
+      containment pairs ("Homeland Security" ⊂ "Department of Homeland
+      Security"), which the shared ``mentions_match`` predicate accepts
+      via ``is_name_contained``, are always PROPOSED. The reference's
+      serial greedy scan reaches every store entity, so its effective
+      blocking recall for containment is 1 (mergers.py:366-373 WRatio
+      scores such pairs ≥60); without this key the pair only surfaces
+      when both forms co-occur in one document (alias bridge) and the
+      distributed graph under-merges. Single-token shorts ("Pentagon")
+      stay on the g:/a: keys — a per-token span would create
+      corpus-hot blocks ("department") that the pair cap then drops.
 
     Keys are namespaced by entity type; events block on title only
     (reference: _lexical_text, mergers.py:214-222).
@@ -176,6 +190,16 @@ def blocking_keys(
                 keys.add(f"{prefix}|a:{cleaned}")
         if group_index is not None and norm in group_index:
             keys.add(f"{prefix}|g:{group_index[norm]}")
+        if entity_type in ("organizations", "locations"):
+            toks = norm.split()
+            if len(toks) >= 2:
+                keys.add(f"{prefix}|c:{norm}")
+            for span_len in range(2, len(toks)):
+                for i in range(len(toks) - span_len + 1):
+                    span = toks[i : i + span_len]
+                    if all(t in ACRONYM_STOPWORDS for t in span):
+                        continue
+                    keys.add(f"{prefix}|c:{' '.join(span)}")
 
     # LSH bands over the primary name only (aliases already bridge via x:)
     norm = normalize_for_match(name)

@@ -1,0 +1,472 @@
+"""md5-planted pages: the SQL-expressible flagship corpus.
+
+``sources/pages.py`` stresses the extractor with splitmix64-driven
+templates — deliberately NOT reproducible in SQL, so the driver's
+correctness gate can only count rows for ``kg_triples``. This module is
+the oracle-able sibling: every planted mention derives from
+``md5(doc_id)`` and round-robin arithmetic, both of which DuckDB
+expresses exactly (``md5_number_lower``, modulo). The REAL flagship
+pipeline (fused html→text → actor-pool mention extraction → within-doc
+QC/collapse → blocking → pair verification → connected components →
+canonical election → triple emission → global sort) runs unchanged on
+the Ray side; the DuckDB oracle independently derives the ground-truth
+triple set from the plant plan plus a corpus-independent gazetteer
+fixture. Any over-merge, under-merge, lost mention, wrong canonical
+name, missed alias, or dedup/sort bug changes the value hash.
+
+Plant plan (per doc, 3 sentences):
+    slot 0: gazetteer-subset index (2*doc_id)     % N   (coverage)
+    slot 1: gazetteer-subset index (2*doc_id + 1) % N   (coverage)
+    slot 2: md5_number_lower('plant:' || doc_id)  % N   (mixing)
+Round-robin slots guarantee every surface appears once per N/2 docs, so
+the canonical-election fixture below is exercised with full alias
+context at every test scale (sf0.001 = 500 docs >> 2N).
+
+Why a SUBSET of the gazetteer: the canonical election (serial greedy
+swap with a 0.3 margin, stages/canonical._elect) makes some clusters'
+winners depend on corpus arrival order — {"Department of Defense",
+"Pentagon", "DoD"} elects whichever of the two non-acronym forms the
+corpus sees first (Δscore 0.26 < margin), and {"Guantanamo Bay",
+"Guantánamo"} likewise (accent blocks the containment bonus). Those two
+order-dependent SURFACES ("Pentagon", "Guantánamo") are excluded here
+so every org/loc/event cluster has a permutation-independent winner
+(pinned by tests/test_planted.py::test_fixture_winners_are_order_free);
+they stay covered by the splitmix corpus and its P/R gate. The one
+people cluster with two equal-scoring transliteration variants
+(p_qahtani_m) can never swap, so its winner is simply the first-seen
+member — which IS SQL-derivable (min (doc_id, slot) over plants, since
+people mentions don't collapse within a doc) and is handled by the
+oracle as the corpus-dependent branch.
+
+Reference parity: the flagship semantics being checked are hinbox's
+merge/canonicalization rules (src/engine/mergers.py:231-274,707-1258);
+this corpus only makes them machine-checkable end-to-end via DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..config import GAZETTEER, GazEntry
+from ..functions.hashing import entity_id as make_entity_id
+from ..functions.names import (
+    canonical_score_with_bonuses,
+    normalize_display,
+    score_canonical_name,
+)
+
+_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z (pages.py epoch)
+_SWAP_MARGIN = 0.3  # stages/canonical._SWAP_MARGIN
+
+# Surfaces whose cluster's canonical election is arrival-order-dependent
+# (see module docstring). Excluded from the planted subset.
+_ORDER_DEPENDENT_SURFACES = frozenset({"Pentagon", "Guantánamo"})
+
+#: The planted subset, in gazetteer order. Index into THIS list is the
+#: plant index both engines compute.
+PLANTED: List[GazEntry] = [
+    e for e in GAZETTEER if e.surface not in _ORDER_DEPENDENT_SURFACES
+]
+
+
+def md5_lower64(s: str) -> int:
+    """== DuckDB ``md5_number_lower(s)``: md5 digest bytes [8:16], LE."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def plant_indices(doc_id: int) -> List[int]:
+    """The 3 planted-subset indices for a doc (slot order)."""
+    n = len(PLANTED)
+    return [
+        (2 * doc_id) % n,
+        (2 * doc_id + 1) % n,
+        md5_lower64(f"plant:{doc_id}") % n,
+    ]
+
+
+def _surface_text(entry: GazEntry) -> str:
+    """Plantable surface; events carry the date inline so the extractor
+    recovers the (title, start_date) key (pages.py:_surface_text)."""
+    if entry.entity_type == "events" and entry.attrs.get("start_date"):
+        return f"{entry.surface} on {entry.attrs['start_date']}"
+    return entry.surface
+
+
+def planted_text(doc_id: int) -> str:
+    return " ".join(
+        f"{_surface_text(PLANTED[i])} appeared in the filing."
+        for i in plant_indices(doc_id)
+    )
+
+
+def page_url(doc_id: int) -> str:
+    return f"doc://{doc_id:08d}"
+
+
+def planted_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) batch → pages batch with the north-rule schema
+    (url, warc_ts, html, text, lang). html wraps the planted sentences
+    in the plain <article><p> template so the fused extractor's
+    html→text kernel runs for real."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    urls, tss, htmls, texts = [], [], [], []
+    for d in doc_ids:
+        d = int(d)
+        text = planted_text(d)
+        urls.append(page_url(d))
+        tss.append(_EPOCH_US + d)
+        htmls.append(
+            f"<html><head><title>t{d}</title></head><body>"
+            f"<article><p>{text}</p></article></body></html>".encode("utf-8")
+        )
+        texts.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(urls), type=pa.string()),
+        }
+    )
+
+
+def planted_pages_dataset(sf_dir: str):
+    """Pruned documents read → deterministic planted pages Dataset."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    )
+    return ds.map_batches(planted_pages_batch, batch_format="pyarrow")
+
+
+# ──────────────────────────────────────────────
+# Ground-truth fixture (corpus-independent part)
+# ──────────────────────────────────────────────
+
+
+@dataclass(frozen=True)
+class ClusterFixture:
+    cluster: str
+    entity_type: str
+    members: Tuple[str, ...]          # normalized display names, gaz order
+    canon: Optional[str]              # None → first-seen (qahtani branch)
+    attr_type: str
+    event_type: str
+    start_date: str
+    end_date: str
+
+    def eid_for(self, canon: str) -> str:
+        if self.entity_type == "people":
+            key = canon
+        elif self.entity_type in ("organizations", "locations"):
+            key = f"{canon}\x1f{self.attr_type}"
+        else:
+            key = f"{canon}\x1f{self.start_date}"
+        return make_entity_id(self.entity_type, key)
+
+
+def _walk_winner(order: List[str]) -> str:
+    """The canonical-election walk of stages/canonical._elect, names
+    only (arrival aliases empty — raw planted nodes carry none beyond
+    other members, which the absorb context reproduces)."""
+    canon = order[0]
+    aliases: List[str] = []
+
+    def absorb(v: str) -> None:
+        low = {a.lower() for a in aliases} | {canon.lower()}
+        if v and v.lower() not in low:
+            aliases.append(v)
+
+    for m in order[1:]:
+        existing = canonical_score_with_bonuses(canon, [m, *aliases])
+        incoming = canonical_score_with_bonuses(m, [canon, *aliases])
+        if incoming > existing + _SWAP_MARGIN:
+            demoted = canon
+            canon = m
+            absorb(demoted)
+        else:
+            absorb(m)
+    return canon
+
+
+@lru_cache(maxsize=1)
+def cluster_fixtures() -> Dict[str, ClusterFixture]:
+    """Per-cluster ground truth over the PLANTED subset.
+
+    ``canon`` is the permutation-independent election winner; clusters
+    where every permutation elects its first member (equal scores, no
+    swap possible) get ``canon=None`` and are resolved per-corpus by
+    first-seen order (the oracle SQL derives the same). A cluster that
+    is neither constant nor first-seen would be a fixture bug —
+    asserted here, and again from tests.
+    """
+    groups: Dict[str, List[GazEntry]] = {}
+    for e in PLANTED:
+        groups.setdefault(e.cluster, []).append(e)
+
+    out: Dict[str, ClusterFixture] = {}
+    for cluster, entries in groups.items():
+        etype = entries[0].entity_type
+        members = tuple(
+            dict.fromkeys(normalize_display(e.surface) for e in entries)
+        )
+        # event attrs follow the extractor's first-entry-per-surface rule
+        # (stages/mentions.py:107-113); start_date is the planted date.
+        first = entries[0]
+        attr_type = str(first.attrs.get("type", ""))
+        event_type = str(first.attrs.get("event_type", ""))
+        start_date = (
+            str(first.attrs.get("start_date", "")) if etype == "events" else ""
+        )
+        end_date = str(first.attrs.get("end_date", "")) if etype == "events" else ""
+
+        if len(members) == 1:
+            canon: Optional[str] = members[0]
+        else:
+            winners = {
+                _walk_winner(list(p)): None
+                for p in itertools.permutations(members)
+            }
+            if len(winners) == 1:
+                canon = next(iter(winners))
+            else:
+                firsts = all(
+                    _walk_winner(list(p)) == p[0]
+                    for p in itertools.permutations(members)
+                )
+                assert firsts, (
+                    f"cluster {cluster} is neither order-free nor "
+                    f"first-seen: {sorted(winners)}"
+                )
+                canon = None
+        out[cluster] = ClusterFixture(
+            cluster=cluster,
+            entity_type=etype,
+            members=members,
+            canon=canon,
+            attr_type=attr_type,
+            event_type=event_type,
+            start_date=start_date,
+            end_date=end_date,
+        )
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _gaz_values() -> str:
+    """(idx, display, cluster, score_rank) VALUES rows for the subset.
+
+    score_rank ranks surfaces within a cluster by descending
+    ``score_canonical_name`` — the within-doc variant-collapse survivor
+    (stages/mentions._collapse_variants keeps the higher-scoring name)
+    is rank 0 among the surfaces co-present in a doc.
+    """
+    fixtures = cluster_fixtures()
+    rows = []
+    for idx, e in enumerate(PLANTED):
+        disp = normalize_display(e.surface)
+        members = fixtures[e.cluster].members
+        rank = sorted(members, key=lambda m: -score_canonical_name(m)).index(disp)
+        rows.append(
+            f"({idx}, {_sql_quote(disp)}, {_sql_quote(e.cluster)}, {rank})"
+        )
+    return ",\n        ".join(rows)
+
+
+def _clus_values() -> str:
+    """(cluster, etype, canon, eid, attr_type, event_type, start_date,
+    end_date, collapses) VALUES rows. First-seen clusters carry canon ''
+    and eid '' (resolved in SQL); ``collapses`` marks org/loc clusters
+    whose within-doc variant collapse drops the loser's mention count.
+    """
+    rows = []
+    for f in cluster_fixtures().values():
+        canon = f.canon or ""
+        eid = f.eid_for(f.canon) if f.canon else ""
+        collapses = (
+            1
+            if f.entity_type in ("organizations", "locations")
+            and len(f.members) > 1
+            else 0
+        )
+        rows.append(
+            "("
+            + ", ".join(
+                [
+                    _sql_quote(f.cluster),
+                    _sql_quote(f.entity_type),
+                    _sql_quote(canon),
+                    _sql_quote(eid),
+                    _sql_quote(f.attr_type),
+                    _sql_quote(f.event_type),
+                    _sql_quote(f.start_date),
+                    _sql_quote(f.end_date),
+                    str(collapses),
+                ]
+            )
+            + ")"
+        )
+    return ",\n        ".join(rows)
+
+
+def _first_seen_eid_case() -> str:
+    """CASE mapping each first-seen cluster's elected member → eid."""
+    cases = []
+    for f in cluster_fixtures().values():
+        if f.canon is not None:
+            continue
+        for m in f.members:
+            cases.append(
+                f"WHEN c.cluster = {_sql_quote(f.cluster)} AND "
+                f"fs.canon = {_sql_quote(m)} THEN {_sql_quote(f.eid_for(m))}"
+            )
+    return " ".join(cases)
+
+
+def _plants_cte() -> str:
+    n = len(PLANTED)
+    return f"""
+    docs AS (SELECT doc_id FROM documents),
+    plants AS (
+        SELECT doc_id, 0 AS slot, (2 * doc_id) % {n} AS idx FROM docs
+        UNION ALL
+        SELECT doc_id, 1, (2 * doc_id + 1) % {n} FROM docs
+        UNION ALL
+        SELECT doc_id, 2,
+               CAST(md5_number_lower('plant:' || CAST(doc_id AS VARCHAR))
+                    % {n} AS BIGINT)
+        FROM docs
+    ),
+    gaz(idx, display, cluster, score_rank) AS (VALUES
+        {_gaz_values()}
+    ),
+    clus(cluster, etype, canon0, eid0, attr_type, event_type,
+         start_date, end_date, collapses) AS (VALUES
+        {_clus_values()}
+    ),
+    pm AS (
+        SELECT p.doc_id, p.slot, g.display, g.cluster, g.score_rank
+        FROM plants p JOIN gaz g ON g.idx = p.idx
+    ),
+    fseen AS (
+        -- first-seen member per first-seen cluster (people never
+        -- collapse within a doc, so plant order IS mention order)
+        SELECT cluster, display AS canon,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY MIN(doc_id * 4 + slot), display
+               ) AS rn
+        FROM pm
+        WHERE cluster IN (SELECT cluster FROM clus WHERE canon0 = '')
+        GROUP BY cluster, display
+    ),
+    clus2 AS (
+        SELECT c.cluster, c.etype,
+               CASE WHEN c.canon0 = '' THEN fs.canon ELSE c.canon0 END AS canon,
+               CASE WHEN c.canon0 = ''
+                    THEN CASE {_first_seen_eid_case()} END
+                    ELSE c.eid0 END AS eid,
+               c.attr_type, c.event_type, c.start_date, c.end_date,
+               c.collapses
+        FROM clus c
+        LEFT JOIN (SELECT * FROM fseen WHERE rn = 1) fs USING (cluster)
+        WHERE c.canon0 <> '' OR fs.canon IS NOT NULL
+    )"""
+
+
+def triples_oracle_sql() -> str:
+    """DuckDB SQL deriving the ground-truth (subj, pred, obj) set of
+    ``kg_triples_planted`` from the documents table alone."""
+    return f"""
+    WITH {_plants_cte()},
+    pres AS (SELECT DISTINCT cluster FROM pm),
+    alias_rows AS (SELECT DISTINCT cluster, display FROM pm),
+    urls AS (
+        SELECT DISTINCT
+               'doc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+               cluster
+        FROM pm
+    ),
+    triples AS (
+        SELECT c.eid AS subj, 'rdf:type' AS pred, c.etype AS obj
+        FROM clus2 c JOIN pres USING (cluster)
+        UNION ALL
+        SELECT c.eid, 'name', c.canon FROM clus2 c JOIN pres USING (cluster)
+        UNION ALL
+        SELECT c.eid, 'alias', a.display
+        FROM alias_rows a JOIN clus2 c USING (cluster)
+        WHERE lower(a.display) <> lower(c.canon)
+        UNION ALL
+        SELECT c.eid, 'type', c.attr_type
+        FROM clus2 c JOIN pres USING (cluster)
+        WHERE c.etype IN ('organizations', 'locations') AND c.attr_type <> ''
+        UNION ALL
+        SELECT c.eid, 'event_type', c.event_type
+        FROM clus2 c JOIN pres USING (cluster)
+        WHERE c.etype = 'events' AND c.event_type <> ''
+        UNION ALL
+        SELECT c.eid, 'start_date', c.start_date
+        FROM clus2 c JOIN pres USING (cluster)
+        WHERE c.etype = 'events' AND c.start_date <> ''
+        UNION ALL
+        SELECT c.eid, 'end_date', c.end_date
+        FROM clus2 c JOIN pres USING (cluster)
+        WHERE c.etype = 'events' AND c.end_date <> ''
+        UNION ALL
+        SELECT c.eid, 'mentioned_in', u.url
+        FROM urls u JOIN clus2 c USING (cluster)
+    )
+    SELECT DISTINCT subj, pred, obj FROM triples ORDER BY subj, pred, obj
+    """
+
+
+def entities_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_entities_planted``: (entity_id, entity_type,
+    name, n_mentions, first_url), n_mentions net of the within-doc
+    variant collapse (the loser surface's matches are absorbed as an
+    alias WITHOUT its count — mentions.py:_collapse_variants keeps only
+    the survivor's n_mentions)."""
+    return f"""
+    WITH {_plants_cte()},
+    per_doc AS (
+        SELECT doc_id, cluster, display, score_rank, COUNT(*) AS cnt
+        FROM pm GROUP BY doc_id, cluster, display, score_rank
+    ),
+    kept AS (
+        -- collapse survivor per (doc, collapsing cluster) = the
+        -- best-score surface among those co-present in the doc; other
+        -- cluster kinds keep every surface's count
+        SELECT d.doc_id, d.cluster,
+               CASE WHEN c.collapses = 1
+                    AND d.score_rank > (
+                        SELECT MIN(d2.score_rank) FROM per_doc d2
+                        WHERE d2.doc_id = d.doc_id AND d2.cluster = d.cluster
+                    )
+                    THEN 0 ELSE d.cnt END AS cnt
+        FROM per_doc d JOIN clus c ON c.cluster = d.cluster
+    ),
+    agg AS (
+        SELECT cluster,
+               SUM(cnt)::BIGINT AS n_mentions,
+               'doc://' || lpad(CAST(MIN(doc_id) AS VARCHAR), 8, '0')
+                   AS first_url
+        FROM (
+            SELECT k.doc_id, k.cluster, k.cnt FROM kept k
+        ) GROUP BY cluster
+    )
+    SELECT c.eid AS entity_id, c.etype AS entity_type, c.canon AS name,
+           a.n_mentions, a.first_url
+    FROM agg a JOIN clus2 c USING (cluster)
+    ORDER BY entity_id
+    """
