@@ -177,6 +177,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_wordpiece_count": T.doc_wordpiece_count,
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "knn_bruteforce": T.knn_bruteforce,
+        # all-plane multi-probe = every bucket probed = EXACT top-k:
+        # the IVF index build, partition-pruned read and top-k merge
+        # machinery earn the brute-force SQL oracle (recall of the
+        # default 6-plane probe stays pinned by tests)
+        "knn_ivf_exact": lambda sf: T.knn_ivf(sf, probe_planes=8),
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
         # 50 planted exact duplicates (re-id'd at +10M) make the truth
@@ -322,10 +327,29 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN quality_flags = 0 THEN 1 ELSE 0 END)::BIGINT AS quality_pass
             FROM f
     """
+    from hinbox_ray.pipelines.analytics import events_hll_users_sql as _hll_sql
     from hinbox_ray.sources.planted import (
         entities_oracle_sql,
         triples_oracle_sql,
     )
+
+    _KNN_EXACT_SQL = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                              * 10000 + 0.5) AS BIGINT) AS cos_e4
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, cos_e4 FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_e4 DESC, vec_id
+        ) <= 10
+        ORDER BY query_id, cos_e4 DESC, vec_id
+    """
 
     return {
         # flagship KG over the md5-planted corpus: DuckDB independently
@@ -397,6 +421,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # the HLL sketch re-derived exactly in SQL: splitmix64 via hi/lo
+        # multiply decomposition, exact range-join ranks, integer
+        # harmonic sum + floor-division estimate (analytics.py)
+        "events_hll_users": _hll_sql(),
         "doc_dedup_exact": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS keep_doc_id,
@@ -600,23 +628,9 @@ def oracle_sql() -> dict[str, str]:
                         ), 0) // 2048 AS BIGINT) AS pack_id
             FROM toks ORDER BY doc_id
         """,
-        "knn_bruteforce": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
-            ),
-            scored AS (
-                SELECT q.query_id, e.vec_id,
-                       CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
-                                  * 10000 + 0.5) AS BIGINT) AS cos_e4
-                FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, vec_id, cos_e4 FROM scored
-            QUALIFY row_number() OVER (
-                PARTITION BY query_id ORDER BY cos_e4 DESC, vec_id
-            ) <= 10
-            ORDER BY query_id, cos_e4 DESC, vec_id
-        """,
+        "knn_bruteforce": _KNN_EXACT_SQL,
+        # exact by construction (every bucket probed) → same oracle
+        "knn_ivf_exact": _KNN_EXACT_SQL,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],

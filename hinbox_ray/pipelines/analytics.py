@@ -1260,16 +1260,32 @@ def events_hll_users(sf_dir: str, p: int = 14) -> ray.data.Dataset:
     mergeable sketch: each batch folds its user ids into a 2^p-register
     partial (one uint64 hash pass + ``np.maximum.at``), registers merge
     by elementwise max in a single tiny ``map_groups``, and the final
-    row carries the bias-corrected estimate.  Only n_batches × 2^p
-    bytes cross the shuffle regardless of corpus size — the canonical
-    100-TB COUNT(DISTINCT) plan.  Standard error ≈ 1.04/√(2^p) ≈ 0.8%
-    at p=14 (pinned by a test against the exact count; no SQL oracle —
-    the estimate is not SQL-reproducible).
+    row carries the estimate.  Only n_batches × 2^p bytes cross the
+    shuffle regardless of corpus size — the canonical 100-TB
+    COUNT(DISTINCT) plan.  Standard error ≈ 1.04/√(2^p) ≈ 0.8% at p=14.
+
+    Oracle-exact by construction (round 4): every float op either has
+    an exhaustively-verified twin in DuckDB or is replaced by integer
+    arithmetic, so the estimate is SQL-reproducible bit-for-bit —
+    ``events_hll_users_sql`` re-derives it from the raw table:
+
+    - rank = leading-zero count is exact (float log2 candidate ± one
+      integer correction; the SQL side uses an exact range join);
+    - the harmonic sum is the INTEGER S = Σ 2^(scale − rank_i), scale =
+      64 − p + 1 (every term a power of two ≥ 1, no float rounding);
+    - the bias-corrected branch is a pure integer floor division
+      (α(m)·m²·2^scale/S with α(m) = 7213·m/(10·(1000m+1079)) exact);
+    - the branch test est ≤ 2.5m is cross-multiplied in integers;
+    - linear counting keeps m·ln(m/V), whose quantized value agrees
+      between numpy and DuckDB on the ENTIRE reachable domain
+      V ∈ [1, m] (exhaustive sweep pinned by
+      tests/test_analytics_extra.py::test_hll_linear_counting_ln_parity).
     """
     import numpy as np
     import pandas as pd
 
     m = 1 << p
+    scale = 64 - p + 1
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["user_id"].to_numpy(zero_copy_only=False)
@@ -1280,10 +1296,20 @@ def events_hll_users(sf_dir: str, p: int = 14) -> ray.data.Dataset:
         nz = rest != 0
         lz = np.full(len(h), 64 - p, dtype=np.int64)
         if nz.any():
-            # floor(log2) via float64 exponent is exact for uint64 >> 1
-            lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(
-                np.int64
+            rnz = rest[nz]
+            # float log2 gives a ±1 candidate (uint64→double rounds);
+            # one integer compare in each direction makes it exact
+            k = np.floor(np.log2(rnz.astype(np.float64))).astype(np.int64)
+            np.clip(k, 0, 63, out=k)
+            pk = np.left_shift(np.uint64(1), k.astype(np.uint64))
+            k = np.where(rnz < pk, k - 1, k)
+            up = (k < 63) & (
+                rnz
+                >= np.left_shift(
+                    np.uint64(1), np.minimum(k + 1, 63).astype(np.uint64)
+                )
             )
+            lz[nz] = 63 - (k + up)
             np.clip(lz, 0, 64 - p, out=lz)
         rank = (lz + 1).astype(np.uint8)
         regs = np.zeros(m, dtype=np.uint8)
@@ -1299,12 +1325,16 @@ def events_hll_users(sf_dir: str, p: int = 14) -> ray.data.Dataset:
         regs = np.zeros(m, dtype=np.uint8)
         for r in g["registers"]:
             np.maximum(regs, np.asarray(r, dtype=np.uint8), out=regs)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:  # small-range linear counting
-            est = m * np.log(m / zeros)
-        return pd.DataFrame({"n_users_est": np.array([int(round(est))], dtype=np.int64)})
+        counts = np.bincount(regs, minlength=scale + 1).tolist()
+        s = sum(int(c) << (scale - r) for r, c in enumerate(counts) if c)
+        zeros = int(counts[0])
+        num = 7213 * m * m * m * (1 << scale)
+        den = 10 * (1000 * m + 1079) * s
+        if 2 * num <= 5 * m * den and zeros:  # small-range linear counting
+            est = int(np.floor(m * np.log(m / zeros) + 0.5))
+        else:
+            est = num // den
+        return pd.DataFrame({"n_users_est": np.array([est], dtype=np.int64)})
 
     return (
         read_table(sf_dir, "events", columns=["user_id"])
@@ -1312,3 +1342,72 @@ def events_hll_users(sf_dir: str, p: int = 14) -> ray.data.Dataset:
         .groupby("g")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def events_hll_users_sql(p: int = 14) -> str:
+    """DuckDB SQL re-deriving ``events_hll_users``' estimate exactly
+    from the raw events table: splitmix64 via hi/lo 32-bit multiply
+    decomposition (a·b mod 2^64 needs 128 bits; HUGEINT holds each
+    sub-product), ranks via an exact range join against precomputed
+    power-of-two literals, the harmonic sum as the same integer S, and
+    the same integer branch/floor-division arithmetic. The only float
+    op is the linear-counting ln, exhaustively verified over its whole
+    reachable domain (see events_hll_users docstring)."""
+    m = 1 << p
+    scale = 64 - p + 1
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xBF58476D1CE4E5B9
+    c3 = 0x94D4ECB871BCAF9D
+    m64 = 2**64
+    num = 7213 * m * m * m * (1 << scale)
+
+    def mul64(a: str, b: int) -> str:
+        bl = b & 0xFFFFFFFF
+        return (
+            f"(CAST(({a}) % 4294967296 AS HUGEINT) * {b} + "
+            f"((CAST(({a}) >> 32 AS HUGEINT) * {bl}) % 4294967296) "
+            f"* 4294967296) % {m64}"
+        )
+
+    rnk_rows = ",\n            ".join(
+        f"({r}, {2 ** (64 - r)}, {2 ** (65 - r)}, {2 ** (scale - r)})"
+        for r in range(1, scale + 1)
+    )
+    return f"""
+        WITH uids AS (
+            SELECT DISTINCT CAST(user_id AS HUGEINT) AS x FROM events
+        ),
+        s0 AS (SELECT CAST((x + {c1}) % {m64} AS UBIGINT) AS z FROM uids),
+        s1 AS (SELECT CAST({mul64("xor(z, z >> 30)", c2)} AS UBIGINT) AS z
+               FROM s0),
+        s2 AS (SELECT CAST({mul64("xor(z, z >> 27)", c3)} AS UBIGINT) AS z
+               FROM s1),
+        hs AS (SELECT xor(z, z >> 31) AS h FROM s2),
+        ir AS (SELECT h >> {64 - p} AS idx,
+                      CAST(h AS HUGEINT) * {1 << p} % {m64} AS rest
+               FROM hs),
+        rnk(r, lo, hi, term) AS (VALUES
+            {rnk_rows}),
+        ranked AS (
+            SELECT ir.idx, COALESCE(rnk.r, {scale}) AS rank
+            FROM ir LEFT JOIN rnk ON ir.rest >= rnk.lo AND ir.rest < rnk.hi
+        ),
+        regs AS (SELECT idx, MAX(rank) AS rnk FROM ranked GROUP BY idx),
+        agg AS (
+            SELECT SUM(t.term)::HUGEINT AS s_nz, COUNT(*) AS n_nz
+            FROM regs JOIN rnk t ON t.r = regs.rnk
+        ),
+        est AS (
+            SELECT ({m} - n_nz) AS v,
+                   (s_nz + ({m} - n_nz) * {2 ** scale}::HUGEINT) AS s
+            FROM agg
+        )
+        SELECT CASE WHEN 2 * {num}::HUGEINT
+                         <= 5 * {m} * (10 * (1000 * {m} + 1079) * s)
+                         AND v > 0
+                    THEN CAST(floor({m} * ln({m}.0 / v) + 0.5) AS BIGINT)
+                    ELSE CAST({num}::HUGEINT
+                              // (10 * (1000 * {m} + 1079) * s) AS BIGINT)
+               END AS n_users_est
+        FROM est
+    """

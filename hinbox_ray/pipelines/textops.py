@@ -71,10 +71,18 @@ def _tokens(text: str) -> List[str]:
     return _TOKEN_RE.findall(text)
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet written by pandas
+    carries a 'pandas' metadata dict that makes pa.Schema unhashable, so
+    Ray's block-schema dedup logs 'Failed to hash the schemas' on every
+    block combine. Fused into the read's task stage — no extra pass."""
+    return batch.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1178,6 +1186,7 @@ def knn_ivf(
     k: int = 10,
     *,
     index_dir: Optional[str] = None,
+    probe_planes: int = 6,
 ) -> ray.data.Dataset:
     """ANN top-k via a sign-bucket inverted-list INDEX with multi-probe.
 
@@ -1204,7 +1213,11 @@ def knn_ivf(
     margins = np.abs(Qn @ H.T)  # (n_q, planes)
     probe_sets = []
     for qi, b in enumerate(q_buckets):
-        soft = np.argsort(margins[qi])[:6]
+        # probe_planes = H.shape[0] flips EVERY plane → all 2^planes
+        # buckets probed → EXACT top-k (== brute force); the
+        # knn_ivf_exact query uses that to earn a SQL oracle for the
+        # whole index/partition-pruning/merge machinery
+        soft = np.argsort(margins[qi])[: min(probe_planes, H.shape[0])]
         probes = {int(b)}
         for mask in range(1 << len(soft)):
             flipped = int(b)
@@ -1242,10 +1255,30 @@ def knn_ivf(
             }
         )
 
-    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            ["cos_e4", "vec_id"], ascending=[False, True]
-        ).head(k)
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial top-k: only n_queries·k rows per block reach
+        # the single-task final reduce
+        return (
+            df.sort_values(["cos_e4", "vec_id"], ascending=[False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(
+                ["query_id", "cos_e4", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("query_id", sort=True)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        out["query_id"] = out["query_id"].astype("int64")
+        out["vec_id"] = out["vec_id"].astype("int64")
+        out["cos_e4"] = out["cos_e4"].astype("int64")
+        return out
 
     # partition pruning at the read: only probed bucket directories are
     # listed/opened — I/O scales with the probe fraction, not the corpus
@@ -1256,11 +1289,6 @@ def knn_ivf(
         for f in sorted(os.listdir(p))
         if f.endswith(".parquet")
     ]
-    if not paths:
-        out = None
-    else:
-        ds = ray.data.read_parquet(paths, columns=["vec_id", "emb", "bucket_id"])
-        out = ds.map_batches(score, batch_format="pyarrow")
     empty = ray.data.from_arrow(
         pa.table(
             {
@@ -1270,12 +1298,19 @@ def knn_ivf(
             }
         )
     )
-    merged = empty if out is None else out.union(empty)
+    if not paths:
+        merged = empty
+    else:
+        ds = ray.data.read_parquet(paths, columns=["vec_id", "emb", "bucket_id"])
+        merged = ds.map_batches(score, batch_format="pyarrow").union(empty)
+    # tiny final reduce (n_queries·k rows per block): repartition(1) +
+    # one typed pandas task instead of a sort-shuffle groupby, whose
+    # empty range partitions emit schema-less blocks (warning noise)
+    # and pay a barrier for 5 groups
     return (
-        merged
-        .groupby("query_id")
-        .map_groups(global_topk, batch_format="pandas")
-        .sort(["query_id", "cos_e4", "vec_id"], descending=[False, True, False])
+        merged.map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(global_topk, batch_format="pandas", batch_size=None)
     )
 
 

@@ -323,6 +323,11 @@ class EmbedTextStage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # parquet written by pandas carries a schema-level 'pandas'
+        # metadata dict that makes pa.Schema unhashable — Ray's block
+        # schema dedup then warns on every block ("Failed to hash the
+        # schemas"). Metadata-only strip, zero-copy.
+        batch = batch.replace_schema_metadata(None)
         texts = batch[self.text_col].to_pylist()
         vecs = self.manager.embed_batch(texts)
         arr = np.asarray(vecs, dtype=np.float32)

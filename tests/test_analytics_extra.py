@@ -32,6 +32,50 @@ def test_hll_is_deterministic(ray_session):
     assert a == b
 
 
+def test_hll_linear_counting_ln_parity():
+    """The one float op in the HLL estimate is linear counting's
+    m·ln(m/V). Its reachable domain is exactly V ∈ [1, m]: sweep ALL of
+    it and assert numpy and DuckDB agree after quantization — this is
+    what licenses the events_hll_users oracle to use `ln`."""
+    import duckdb
+    import numpy as np
+
+    m = 1 << 14
+    v = np.arange(1, m + 1, dtype=np.float64)
+    py = np.floor(m * np.log(m / v) + 0.5).astype(np.int64)
+    got = duckdb.sql(
+        f"SELECT CAST(floor({m}*ln({m}.0/v)+0.5) AS BIGINT) AS e"
+        f" FROM range(1,{m + 1}) t(v) ORDER BY v"
+    ).fetchnumpy()["e"].astype(np.int64)
+    assert (py == got).all()
+
+
+def test_hll_bias_corrected_branch_matches_sql(ray_session, tmp_path):
+    """High-cardinality corpus → the integer floor-division branch; the
+    engine and the SQL must agree bit-for-bit there too (the driver's
+    sf corpora only exercise linear counting)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.analytics import (
+        events_hll_users,
+        events_hll_users_sql,
+    )
+
+    ids = np.arange(200_000, dtype=np.int64) * 7919 + 13
+    pq.write_table(pa.table({"user_id": ids}), str(tmp_path / "events.parquet"))
+    eng = int(events_hll_users(str(tmp_path)).to_pandas()["n_users_est"].iloc[0])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    got = con.execute(events_hll_users_sql()).fetchone()[0]
+    assert eng == got
+    assert abs(eng - 200_000) / 200_000 < 0.025
+
+
 def test_quantile_disc_convention(ray_session, tmp_path):
     """orders_price_quantiles must use DuckDB's quantile_disc index
     (sorted ascending, element at ceil(q*n)-1) — pinned on a table
