@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_sample": T.doc_jaccard_sample,
         "doc_wordpiece_count": T.doc_wordpiece_count,
         "doc_simhash_neardup": T.doc_simhash_neardup,
+        "doc_chunk_dedup": T.doc_chunk_dedup,
+        "doc_repeated_ngrams": T.doc_repeated_ngrams,
         "knn_bruteforce": T.knn_bruteforce,
         # all-plane multi-probe = every bucket probed = EXACT top-k:
         # the IVF index build, partition-pruned read and top-k merge
@@ -594,6 +596,56 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
                      AS n_pieces
             FROM documents
+        """,
+        "doc_chunk_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, i,
+                       md5_number_lower(
+                           array_to_string(t[i*8+1 : i*8+8], ' ')) AS h
+                FROM (SELECT doc_id, t,
+                             unnest(range((len(t)+7)//8)) AS i
+                      FROM toks)
+            ),
+            ranked AS (
+                SELECT doc_id, i, h,
+                       row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id, i) AS rn
+                FROM chunks
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_kept,
+                   (sum(CASE WHEN rn = 1
+                             THEN (h % 2305843009213693951)::HUGEINT
+                             ELSE 0::HUGEINT END)
+                    % 2305843009213693951)::BIGINT AS kept_hash_mod
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_repeated_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, md5_number_lower(g) AS h
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(len(t)-2),
+                                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                      FROM toks WHERE len(t) >= 3)
+            )
+            SELECT h AS gram_h, count(*)::BIGINT AS n_docs
+            FROM grams GROUP BY h HAVING count(*) >= 5
         """,
         "doc_split_assign": """
             SELECT doc_id,

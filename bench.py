@@ -109,7 +109,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # prune at the read: the fused extractor re-derives text from
         # html, so the corpus' reference text column (kept for the
         # byte-identity invariant) would be dead bytes in every block
-        pages = rd.read_parquet(
+        from hinbox_ray.sources.reader import read_parquet_clean
+
+        pages = read_parquet_clean(
             corpus,
             columns=["url", "warc_ts", "html", "lang"],
             override_num_blocks=max(64, num_cpus * 4),

@@ -106,7 +106,9 @@ def main(argv=None) -> int:
         )
         tri_dir = os.path.join(args.out, "triples")
     else:
-        pages = rd.read_parquet(args.pages)
+        from .sources.reader import read_parquet_clean
+
+        pages = read_parquet_clean(args.pages)
         if args.limit:
             pages = pages.limit(args.limit)
         result = build_kg(pages, cfg)

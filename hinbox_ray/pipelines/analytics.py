@@ -52,8 +52,11 @@ def _path(sf_dir: str, table: str) -> str:
 def read_table(
     sf_dir: str, table: str, columns: Optional[List[str]] = None
 ) -> ray.data.Dataset:
-    """Column-pruned streaming parquet read."""
-    return ray.data.read_parquet(_path(sf_dir, table), columns=columns)
+    """Column-pruned streaming parquet read with a metadata-free schema
+    (see :mod:`hinbox_ray.sources.reader` for why)."""
+    from ..sources.reader import read_parquet_clean
+
+    return read_parquet_clean(_path(sf_dir, table), columns=columns)
 
 
 def _small_table(sf_dir: str, table: str, columns: List[str]) -> pa.Table:

@@ -71,18 +71,13 @@ def _tokens(text: str) -> List[str]:
     return _TOKEN_RE.findall(text)
 
 
-def _strip_meta(batch: pa.Table) -> pa.Table:
-    """Drop schema-level metadata (zero-copy). Parquet written by pandas
-    carries a 'pandas' metadata dict that makes pa.Schema unhashable, so
-    Ray's block-schema dedup logs 'Failed to hash the schemas' on every
-    block combine. Fused into the read's task stage — no extra pass."""
-    return batch.replace_schema_metadata(None)
-
-
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    """Column-pruned read with a metadata-free schema (sources.reader)."""
+    from ..sources.reader import read_parquet_clean
+
+    return read_parquet_clean(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1389,7 +1384,9 @@ def embedding_neardup_lsh(
                 _pc.add(batch["vec_id"], pa.scalar(_PLANT_OFFSET, pa.int64())),
             )
 
-        dup = ray.data.read_parquet(
+        from ..sources.reader import read_parquet_clean
+
+        dup = read_parquet_clean(
             os.path.join(sf_dir, "embeddings.parquet"),
             columns=["vec_id", "embedding"],
             filter=_pads.field("vec_id") < plant,  # row-group pushdown
@@ -1945,8 +1942,193 @@ def doc_pack_sequences(
             }
         )
 
+    # Bound the groupby shuffle's output-partition count by the number
+    # of distinct buckets actually present (known from the driver-side
+    # offsets pass): the sort shuffle emits one partition per input
+    # block, and partitions with no keys become schema-less empty
+    # blocks (executor "RefBundle with a different schema" noise). At
+    # scale num_blocks <= n_buckets and this is a no-op.
+    n_parts = max(1, min(len(bdf), counts.num_blocks()))
+    if counts.num_blocks() > n_parts:
+        counts = counts.repartition(n_parts)
     return (
         counts.groupby("bucket")
         .map_groups(finish, batch_format="pandas")
         .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicated-span removal (CCNet-style paragraph/line dedup)
+
+
+def doc_chunk_dedup(
+    sf_dir: str, chunk: int = 8, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Corpus-level duplicated-span dedup over fixed token chunks.
+
+    The CCNet / RefinedWeb "paragraph dedup" pass: segment every
+    document into units, hash each unit, and keep only the corpus-first
+    occurrence of each distinct unit (first = lexicographically min
+    (doc_id, chunk_idx)). The synthetic corpus is newline-free, so the
+    unit here is a window of ``chunk`` consecutive whitespace tokens —
+    a newline-paragraph splitter is a one-line swap of ``explode``'s
+    segmentation and the rest of the plan is unchanged.
+
+    Emits one row per doc: (doc_id, n_chunks, n_kept,
+    kept_hash_mod = Σ_{kept} (md5_u64(unit) mod 2^61−1) mod 2^61−1) —
+    all-integer, so the DuckDB oracle is hash-exact.
+
+    Scale plan: only (doc_id, idx, h) triples cross the wire (unit
+    text never leaves the map stage); keeper election shuffles on
+    ``h % n_buckets`` (all copies of a unit co-locate by construction);
+    per-doc re-aggregation shuffles partials on ``doc_id % n_buckets``.
+    Both shuffles carry O(corpus tokens / chunk) fixed-width rows.
+    """
+    M = (1 << 61) - 1
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        doc_ids: list = []
+        idxs: list = []
+        hs: list = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _tokens(text)
+            for i in range(0, (len(toks) + chunk - 1) // chunk):
+                unit = " ".join(toks[i * chunk : (i + 1) * chunk])
+                h = int.from_bytes(
+                    hashlib.md5(unit.encode()).digest()[8:], "little"
+                )
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                hs.append(h)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "idx": pd.Series(idxs, dtype=np.int64),
+                "h": pd.Series(hs, dtype=np.uint64),
+            }
+        )
+        df["_hb"] = (df["h"] % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        """Per h-bucket: mark corpus-first (doc_id, idx) per hash, then
+        fold per-doc partials (n_chunks / n_kept / modular hash sum).
+
+        The modular sum is vectorized via a 32-bit split: Σ(h mod M)
+        per doc is carried as (Σ lo32, Σ hi32) uint64 partials (no
+        overflow below 2^31 rows/doc) and combined mod M only once per
+        doc in ``finish``.
+        """
+        g = g.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        first = ~g["h"].duplicated()
+        hmod = g["h"].to_numpy() % np.uint64(M)
+        kept = first.to_numpy()
+        lo = np.where(kept, hmod & np.uint64(0xFFFFFFFF), np.uint64(0))
+        hi = np.where(kept, hmod >> np.uint64(32), np.uint64(0))
+        part = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_chunks": np.ones(len(g), dtype=np.int64),
+                "n_kept": kept.astype(np.int64),
+                "sum_lo": lo,
+                "sum_hi": hi,
+            }
+        )
+        out = part.groupby("doc_id", as_index=False, sort=False).sum()
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.drop(columns=["_db"]).groupby(
+            "doc_id", as_index=False, sort=True
+        ).sum()
+        khm = [
+            ((int(hi) << 32) + int(lo)) % M
+            for lo, hi in zip(tot["sum_lo"], tot["sum_hi"])
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": tot["doc_id"].astype(np.int64),
+                "n_chunks": tot["n_chunks"].astype(np.int64),
+                "n_kept": tot["n_kept"].astype(np.int64),
+                "kept_hash_mod": pd.Series(khm, dtype=np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    partials = exploded.groupby("_hb").map_groups(
+        elect, batch_format="pandas"
+    )
+    return partials.groupby("_db").map_groups(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (Gopher/RefinedWeb-style repeated spans)
+
+
+def doc_repeated_ngrams(
+    sf_dir: str, n: int = 3, min_docs: int = 5, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Token n-grams shared by ≥ ``min_docs`` distinct documents.
+
+    The boilerplate-detection primitive behind Gopher/RefinedWeb-style
+    repetition filters: a document-frequency count over token n-grams,
+    keeping the grams frequent enough to be templates rather than
+    content. Emits (gram_h = md5_u64 of the space-joined gram, n_docs).
+
+    Scale plan: the map stage dedupes grams WITHIN each doc and then
+    combines per block (docs never span blocks, so a per-block count
+    per gram is a partial distinct-doc count — no (gram, doc) pair
+    list ever crosses the shuffle); partials shuffle on
+    ``gram_h % n_buckets`` and a vectorized pandas sum finishes each
+    bucket. The exchange carries O(distinct grams per block) rows.
+    """
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for text in batch["text"].to_pylist():
+            toks = _tokens(text)
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                seen.add(" ".join(toks[i : i + n]))
+            for g in seen:
+                counts[g] = counts.get(g, 0) + 1
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")
+                for g in counts
+            ),
+            dtype=np.uint64,
+            count=len(counts),
+        )
+        df = pd.DataFrame(
+            {
+                "gram_h": hs,
+                "n_docs": pd.Series(list(counts.values()), dtype=np.int64),
+            }
+        )
+        df["_hb"] = (df["gram_h"] % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("gram_h", as_index=False, sort=False)["n_docs"].sum()
+        out = out[out["n_docs"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "gram_h": out["gram_h"].to_numpy(dtype=np.uint64),
+                "n_docs": out["n_docs"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )

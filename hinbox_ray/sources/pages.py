@@ -248,9 +248,9 @@ def pages_dataset(sf_dir: str, repeat: int = 1, num_blocks: int = 32):
     one-block read would serialize the whole front of the pipeline; at
     production scale the input is many files and this is a no-op).
     """
-    import ray.data as rd
+    from .reader import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=num_blocks,

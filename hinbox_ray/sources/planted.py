@@ -139,9 +139,9 @@ def planted_pages_batch(batch: pa.Table) -> pa.Table:
 
 def planted_pages_dataset(sf_dir: str):
     """Pruned documents read → deterministic planted pages Dataset."""
-    import ray.data
+    from .reader import read_parquet_clean
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
     )
     return ds.map_batches(planted_pages_batch, batch_format="pyarrow")

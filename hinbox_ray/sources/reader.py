@@ -1,0 +1,60 @@
+"""Schema-clean parquet reads.
+
+pandas-written parquet carries a ``b'pandas'`` schema-metadata entry
+whose value is a JSON dict; ``pa.Schema.__hash__`` raises on it, so Ray
+Data's block-schema dedup logs ``Failed to hash the schemas: unhashable
+type: 'dict'`` on every block combine — pure noise that buries real
+schema warnings. Passing an explicit, metadata-free, column-pruned
+schema to ``read_parquet`` silences it at the source (inside the
+ReadParquet operator, where a downstream ``map_batches`` strip can't
+reach) and costs nothing: one footer read on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Sequence, Union
+
+import pyarrow as pa
+import ray.data
+
+
+def _first_parquet_file(path: Union[str, Sequence[str]]) -> str:
+    if not isinstance(path, str):
+        return _first_parquet_file(path[0])
+    if os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not hits:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        return hits[0]
+    return path
+
+
+def clean_schema(
+    path: Union[str, Sequence[str]], columns: Optional[List[str]] = None
+) -> pa.Schema:
+    """Footer schema of ``path``, metadata-free, pruned to ``columns``."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(_first_parquet_file(path))
+    fields = [pa.field(f.name, f.type) for f in sch]
+    if columns is not None:
+        by_name = {f.name: f for f in fields}
+        fields = [by_name[c] for c in columns]
+    return pa.schema(fields)
+
+
+def read_parquet_clean(
+    path: Union[str, Sequence[str]],
+    columns: Optional[List[str]] = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with an explicit metadata-free schema.
+
+    Drop-in replacement for testdata-facing reads; extra kwargs
+    (``filter``, ``override_num_blocks``, …) pass through.
+    """
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_schema(path, columns), **kwargs
+    )

@@ -349,9 +349,9 @@ class FrameSampleStage:
 
 
 def _media_pipeline(sf_dir: str, synth_fn, stage_cls, **stage_kwargs):
-    import ray.data as rd
+    from ..sources.reader import read_parquet_clean
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=16
     )
     media = ds.map_batches(synth_fn, batch_format="pyarrow")

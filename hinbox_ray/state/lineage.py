@@ -87,7 +87,9 @@ def extract_partition(
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
 
-    pages = rd.read_parquet(pages_file)
+    from ..sources.reader import read_parquet_clean
+
+    pages = read_parquet_clean(pages_file)
     docs = extract_and_filter(pages, drop_ref=True)
 
     # stats + order-insensitive text checksum computed en route

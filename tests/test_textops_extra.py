@@ -399,3 +399,79 @@ def test_jaccard_grid_path_matches_driver_finish(ray_session):
     ).to_pandas()
     assert len(one) > 0
     assert one.reset_index(drop=True).equals(grid.reset_index(drop=True))
+
+
+def test_doc_chunk_dedup_matches_driver_scan(ray_session):
+    """Distributed chunk dedup == a single-process reference scan."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _tokens, doc_chunk_dedup
+
+    got = (
+        doc_chunk_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    M = (1 << 61) - 1
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    units = []  # (doc_id, idx, h)
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _tokens(x)
+        for i in range(0, (len(toks) + 7) // 8):
+            u = " ".join(toks[i * 8 : (i + 1) * 8])
+            h = int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little")
+            units.append((d, i, h))
+    keeper = {}
+    for d, i, h in units:
+        if h not in keeper or (d, i) < keeper[h]:
+            keeper[h] = (d, i)
+    exp = {}
+    for d, i, h in units:
+        n_chunks, n_kept, s = exp.get(d, (0, 0, 0))
+        kept = keeper[h] == (d, i)
+        exp[d] = (
+            n_chunks + 1,
+            n_kept + (1 if kept else 0),
+            (s + (h % M if kept else 0)) % M,
+        )
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        assert exp[row.doc_id] == (
+            row.n_chunks,
+            row.n_kept,
+            row.kept_hash_mod,
+        ), row
+    # the corpus-first rule keeps at least one copy of every unit
+    assert got["n_kept"].sum() == len(keeper)
+
+
+def test_doc_repeated_ngrams_matches_driver_scan(ray_session):
+    """Distributed gram-DF count == a single-process reference scan."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _tokens, doc_repeated_ngrams
+
+    got = (
+        doc_repeated_ngrams(SF, min_docs=3)
+        .to_pandas()
+        .sort_values("gram_h")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    df = Counter()
+    for x in t["text"].to_pylist():
+        toks = _tokens(x)
+        for g in {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}:
+            df[int.from_bytes(hashlib.md5(g.encode()).digest()[8:], "little")] += 1
+    exp = {h: c for h, c in df.items() if c >= 3}
+    assert len(got) == len(exp) > 0
+    for row in got.itertuples():
+        assert exp[int(row.gram_h)] == row.n_docs
