@@ -1963,7 +1963,7 @@ def doc_pack_sequences(
 
 
 def doc_chunk_dedup(
-    sf_dir: str, chunk: int = 8, n_buckets: int = 64
+    sf_dir: str, chunk: int = 8, n_buckets: int = 512
 ) -> ray.data.Dataset:
     """Corpus-level duplicated-span dedup over fixed token chunks.
 
@@ -2073,7 +2073,7 @@ def doc_chunk_dedup(
 
 
 def doc_repeated_ngrams(
-    sf_dir: str, n: int = 3, min_docs: int = 5, n_buckets: int = 64
+    sf_dir: str, n: int = 3, min_docs: int = 5, n_buckets: int = 512
 ) -> ray.data.Dataset:
     """Token n-grams shared by ≥ ``min_docs`` distinct documents.
 
