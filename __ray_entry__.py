@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
+        "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         "knn_bruteforce": T.knn_bruteforce,
         # all-plane multi-probe = every bucket probed = EXACT top-k:
         # the IVF index build, partition-pruned read and top-k merge
@@ -646,6 +647,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h AS gram_h, count(*)::BIGINT AS n_docs
             FROM grams GROUP BY h HAVING count(*) >= 5
+        """,
+        "doc_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, md5_number_lower(x) AS h,
+                       count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+                GROUP BY doc_id, md5_number_lower(x)
+            ),
+            df AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY h),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.h, tf.tf, df.df,
+                       (tf.tf * ((n.n * 1000) // df.df))::BIGINT AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ((n.n * 1000) // df.df) DESC,
+                                    tf.h ASC) AS rn
+                FROM tf JOIN df USING (h) CROSS JOIN n
+            )
+            SELECT doc_id, h AS term_h, tf, df, score
+            FROM scored WHERE rn = 1
         """,
         "doc_split_assign": """
             SELECT doc_id,

@@ -27,6 +27,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling uses 1000x (5M pages) so per-CPU work dominates stage
 # latency at both parallelism levels.
 KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "200"))
+KG_BATCH = int(os.environ.get("GRAFT_KG_BATCH", "4096"))
 SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "1000"))
 
 # Headline set: the KG flagship plus the heavy non-KG pipelines.
@@ -116,12 +117,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             columns=["url", "warc_ts", "html", "lang"],
             override_num_blocks=max(64, num_cpus * 4),
         )
-        # batch_size=2048: fewer object-store round trips per actor
-        # (measured 10.8 → 9.5 s on the extraction stage at 1M pages);
-        # sized for ~2-5 KB synthetic docs — at 100 TB with bigger docs
-        # keep batch × doc-size within the actor heap (the library
-        # default stays small for that reason)
-        return build_kg(pages, batch_size=2048).triples
+        # batch_size: fewer object-store round trips per actor — 2048
+        # measured 10.8 → 9.5 s on the extraction stage at 1M pages,
+        # 4096 measured 160 → 131-148 s at 20M pages (8192 regresses
+        # to 246 s: batch × actor heap starts spilling). Sized for
+        # ~2-5 KB synthetic docs — at 100 TB with bigger docs keep
+        # batch × doc-size within the actor heap (the library default
+        # stays small for that reason).
+        return build_kg(pages, batch_size=KG_BATCH).triples
 
     qs = dict(entrymod.queries())
     qs["kg_triples"] = kg_from_corpus

@@ -2132,3 +2132,104 @@ def doc_repeated_ngrams(
         .groupby("_hb")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document (all-integer idf, oracle-exact)
+
+
+def doc_tfidf_top_terms(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+    """Highest-TF-IDF token per document.
+
+    The keyword-extraction primitive of a corpus profiler: tf(doc,
+    token) × idf(token), argmax per doc. To stay hash-exact across
+    engines the idf is the INTEGER ``idf_milli = (N * 1000) // df``
+    (floor division — no float log whose libm rounding could differ
+    between numpy and DuckDB) and ties break on the smaller token hash.
+    Emits (doc_id, term_h = md5_u64(token), tf, df, score =
+    tf · idf_milli).
+
+    Scale plan: one map emits per-(doc, token) tf rows (token text
+    never crosses the wire — only its hash); the DF count and the
+    df-attach are ONE co-group on ``term_h % n_buckets`` (all rows of a
+    token co-locate, so the bucket kernel counts df and joins it back
+    in-place — no separate join shuffle); the per-doc argmax shuffles
+    on ``doc_id % n_buckets``. N comes from parquet row-count metadata
+    (a driver-side scalar, exact and free).
+    """
+    import pyarrow.parquet as pq_meta
+
+    n_total = pq_meta.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_ids: list = []
+        hs: list = []
+        tfs: list = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts: dict = {}
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                doc_ids.append(doc_id)
+                hs.append(
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                )
+                tfs.append(c)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "term_h": pd.Series(hs, dtype=np.uint64),
+                "tf": pd.Series(tfs, dtype=np.int64),
+            }
+        )
+        df["_hb"] = (df["term_h"] % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        """Per h-bucket: df = rows per term (rows are unique per
+        (doc, term) by construction), attached vectorized."""
+        dfc = g.groupby("term_h")["term_h"].transform("size").to_numpy()
+        idf_milli = (np.int64(n_total) * 1000) // dfc.astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "term_h": g["term_h"].to_numpy(),
+                "tf": g["tf"].to_numpy(),
+                "df": dfc.astype(np.int64),
+                "score": g["tf"].to_numpy() * idf_milli,
+            }
+        )
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def argmax_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "term_h"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g[~g["doc_id"].duplicated()]
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].to_numpy(dtype=np.int64),
+                "term_h": top["term_h"].to_numpy(dtype=np.uint64),
+                "tf": top["tf"].to_numpy(dtype=np.int64),
+                "df": top["df"].to_numpy(dtype=np.int64),
+                "score": top["score"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(argmax_per_doc, batch_format="pandas")
+    )

@@ -475,3 +475,63 @@ def test_doc_repeated_ngrams_matches_driver_scan(ray_session):
     assert len(got) == len(exp) > 0
     for row in got.itertuples():
         assert exp[int(row.gram_h)] == row.n_docs
+
+
+def test_doc_tfidf_top_terms_matches_driver_scan(ray_session):
+    """Distributed tf-idf argmax == a single-process reference scan."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _tokens, doc_tfidf_top_terms
+
+    got = (
+        doc_tfidf_top_terms(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_total = len(t)
+    tfs = {}  # doc -> Counter(h -> tf)
+    dfc = Counter()  # h -> df
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        c = Counter(
+            int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
+            for tok in _tokens(x)
+        )
+        tfs[d] = c
+        for h in c:
+            dfc[h] += 1
+    exp = {}
+    for d, c in tfs.items():
+        if not c:
+            continue
+        best = min(
+            ((-tf * ((n_total * 1000) // dfc[h]), h) for h, tf in c.items())
+        )
+        score, h = -best[0], best[1]
+        exp[d] = (h, c[h], dfc[h], score)
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        assert exp[row.doc_id] == (
+            int(row.term_h),
+            row.tf,
+            row.df,
+            row.score,
+        ), row
+
+
+def test_clean_schema_strips_metadata_and_prunes():
+    """read_parquet_clean's schema: metadata-free, column-pruned, and
+    hashable (the property Ray's block-schema dedup needs)."""
+    from hinbox_ray.sources.reader import clean_schema
+
+    full = clean_schema(f"{SF}/documents.parquet")
+    assert full.metadata is None
+    hash(full)  # unhashable schema = the original warning source
+    pruned = clean_schema(f"{SF}/documents.parquet", ["doc_id", "text"])
+    assert pruned.names == ["doc_id", "text"]
+    assert all(f.metadata is None for f in pruned)
