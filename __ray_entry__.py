@@ -179,6 +179,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": T.doc_chunk_dedup,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
+        # benchmark decontamination: eval grams broadcast, corpus probed
+        "doc_decontaminate": T.doc_decontaminate,
+        # planted-PII redaction (counts + redacted-text sha256)
+        "doc_pii_scrub": T.doc_pii_scrub,
+        # the REAL html→text stage over closed-form planted HTML — the
+        # oracle-backed companion to pages_extract_text (S11)
+        "pages_extract_text_planted": T.pages_extract_text_planted,
         "knn_bruteforce": T.knn_bruteforce,
         # all-plane multi-probe = every bucket probed = EXACT top-k:
         # the IVF index build, partition-pruned read and top-k merge
@@ -675,6 +682,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, h AS term_h, tf, df, score
             FROM scored WHERE rn = 1
+        """,
+        "doc_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       md5_number_lower(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+                WHERE len(t) >= 8
+            ),
+            eval_grams AS (
+                SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+            ),
+            hits AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_hits
+                FROM grams g JOIN eval_grams e USING (h)
+                GROUP BY g.doc_id
+            )
+            SELECT tk.doc_id,
+                   (CASE WHEN tk.doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS is_eval,
+                   greatest(len(tk.t) - 7, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   (CASE WHEN tk.doc_id % 97 <> 0
+                              AND coalesce(h.n_hits, 0) > 0
+                         THEN 1 ELSE 0 END)::BIGINT AS contaminated
+            FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
+            ORDER BY tk.doc_id
+        """,
+        "doc_pii_scrub": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' Contact user' || (doc_id % 1000)
+                            || '@example.com or +1-555-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                            || ' today from ' || (doc_id % 256)
+                            || '.0.113.7 now.' AS planted
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(regexp_extract_all(planted,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_emails,
+                   length(regexp_extract_all(planted,
+                       '\\+1-555-[0-9]{4}'))::BIGINT AS n_phones,
+                   length(regexp_extract_all(planted,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'
+                   ))::BIGINT AS n_ips,
+                   sha256(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(planted,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                   '<EMAIL>', 'g'),
+                               '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '<IP>', 'g')
+                   ) AS clean_sha256
+            FROM p ORDER BY doc_id
+        """,
+        "pages_extract_text_planted": """
+            SELECT 'https://planted.example/'
+                       || lpad(doc_id::VARCHAR, 9, '0') AS url,
+                   'Doc ' || doc_id || ' & Co' AS title,
+                   sha256('P' || doc_id || ' one bold ' || md5(text)
+                          || chr(10) || chr(10)
+                          || 'P' || doc_id || ' two <tag> end')
+                     AS text_sha256
+            FROM documents ORDER BY url
         """,
         "doc_split_assign": """
             SELECT doc_id,

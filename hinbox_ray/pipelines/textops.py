@@ -2233,3 +2233,248 @@ def doc_tfidf_top_terms(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         .groupby("_db")
         .map_groups(argmax_per_doc, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 §2.2 / Gopher-style n-gram overlap)
+
+
+def doc_decontaminate(
+    sf_dir: str, n: int = 8, eval_mod: int = 97
+) -> ray.data.Dataset:
+    """Flag training docs that share a token ``n``-gram with an eval set.
+
+    The train/test decontamination pass every large-scale corpus needs
+    (GPT-3 appendix C, Gopher §A.4): hash every ``n``-token window of
+    every document, build the distinct-gram set of the held-out
+    benchmark docs (here: ``doc_id % eval_mod == 0`` — a deterministic
+    stand-in for an external benchmark table), and count, per training
+    doc, how many of its gram positions collide with that set. Emits
+    (doc_id, is_eval, n_grams, n_hits, contaminated) — contaminated is
+    1 for non-eval docs with ≥1 hit.
+
+    Scale plan: the two sides of a decontamination pass are wildly
+    asymmetric — the corpus is up to ~10¹² docs but a benchmark suite
+    is ~10⁶–10⁸ grams — so the eval gram set is dedup-reduced (per
+    block, then once on the driver over the per-block distinct arrays)
+    and broadcast via ``ray.put``; the corpus-side probe is a stateless
+    ``map_batches`` doing one sorted-array ``np.isin`` per batch. No
+    corpus-scale shuffle at all. Gram hash = md5 digest[8:16]
+    little-endian (= DuckDB ``md5_number_lower``) so the oracle is
+    hash-exact.
+    """
+
+    def _gram_hashes(text: str) -> np.ndarray:
+        toks = _tokens(text)
+        m = len(toks) - n + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.uint64)
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(" ".join(toks[i : i + n]).encode()).digest()[8:],
+                    "little",
+                )
+                for i in range(m)
+            ),
+            dtype=np.uint64,
+            count=m,
+        )
+
+    def eval_grams(batch: pa.Table) -> pd.DataFrame:
+        parts = [
+            _gram_hashes(text)
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+            if doc_id % eval_mod == 0
+        ]
+        arr = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pd.DataFrame({"h": pd.Series(arr, dtype=np.uint64)})
+
+    eval_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        eval_grams, batch_format="pyarrow"
+    )
+    blocks = [
+        b["h"].to_numpy()
+        for b in eval_ds.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    eval_set = (
+        np.unique(np.concatenate(blocks)) if blocks else np.empty(0, np.uint64)
+    )
+    eval_ref = ray.put(eval_set)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        ev = ray.get(eval_ref)  # plasma-local, zero-copy
+        doc_ids, n_grams, n_hits, is_eval = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hs = _gram_hashes(text)
+            doc_ids.append(doc_id)
+            n_grams.append(len(hs))
+            n_hits.append(
+                int(np.count_nonzero(np.isin(hs, ev))) if len(hs) else 0
+            )
+            is_eval.append(1 if doc_id % eval_mod == 0 else 0)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "is_eval": pd.Series(is_eval, dtype=np.int64),
+                "n_grams": pd.Series(n_grams, dtype=np.int64),
+                "n_hits": pd.Series(n_hits, dtype=np.int64),
+            }
+        )
+        df["contaminated"] = (
+            (df["is_eval"] == 0) & (df["n_hits"] > 0)
+        ).astype(np.int64)
+        return df
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(probe, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (planted-PII augmentation so the oracle is non-vacuous)
+
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"\+1-555-[0-9]{4}")
+_IP_RE = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+
+
+def doc_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """Regex PII redaction: emails / phone numbers / IPv4 literals.
+
+    The standard pre-training scrub pass. The synthetic corpus carries
+    no PII, so each doc is augmented with a deterministic planted
+    suffix derived from ``doc_id`` (same closed form in the DuckDB
+    oracle — the planted-dup trick from embedding_neardup_lsh applied
+    to redaction), which makes the count columns and the redacted-text
+    hash non-vacuous. Emits (doc_id, n_emails, n_phones, n_ips,
+    clean_sha256) where clean_sha256 hashes the text after replacing
+    email → <EMAIL>, then phone → <PHONE>, then IP → <IP> (order
+    matters and matches the oracle).
+
+    Scale plan: stateless, shuffle-free ``map_batches`` with
+    module-compiled regexes; patterns are kept in the common subset of
+    Python `re` and RE2 semantics (character classes + bounded
+    repetition, no backtracking-dependent constructs) so both engines
+    find identical spans.
+    """
+
+    def scrub(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, n_em, n_ph, n_ip, shas = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            planted = (
+                f"{text} Contact user{doc_id % 1000}@example.com or "
+                f"+1-555-{doc_id % 10000:04d} today from "
+                f"{doc_id % 256}.0.113.7 now."
+            )
+            n_em.append(len(_EMAIL_RE.findall(planted)))
+            n_ph.append(len(_PHONE_RE.findall(planted)))
+            n_ip.append(len(_IP_RE.findall(planted)))
+            clean = _IP_RE.sub(
+                "<IP>",
+                _PHONE_RE.sub("<PHONE>", _EMAIL_RE.sub("<EMAIL>", planted)),
+            )
+            shas.append(hashlib.sha256(clean.encode()).hexdigest())
+            doc_ids.append(doc_id)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "n_emails": pd.Series(n_em, dtype=np.int64),
+                "n_phones": pd.Series(n_ph, dtype=np.int64),
+                "n_ips": pd.Series(n_ip, dtype=np.int64),
+                "clean_sha256": pd.Series(shas, dtype=object),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(scrub, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 extractor over planted HTML (closed-form oracle for html→text)
+
+
+def pages_extract_text_planted(sf_dir: str) -> ray.data.Dataset:
+    """The REAL html→text stage over HTML whose extraction is known in
+    closed form, so DuckDB can hash-check the extractor end to end.
+
+    Each document is wrapped in a template that exercises the
+    reference extractor's branches (container chain, <h1> title,
+    nested inline tags, entity unescape, Advertisement-paragraph drop
+    — /root/reference/scripts/get_miami_herald_articles.py:219-249)
+    while keeping the expected output a pure string function of
+    (doc_id, md5(text)). The pipeline then runs the SAME
+    ``extract_text_batch`` stage the flagship uses and emits
+    (url, title, text_sha256). This complements ``pages_extract_text``
+    (the full 8-template corpus, byte-identity pinned by unit tests)
+    with a driver-hashable oracle row for S11.
+    """
+    from ..stages.extract import extract_text_batch
+
+    def make_html(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            tmd5 = hashlib.md5(text.encode()).hexdigest()
+            urls.append(f"https://planted.example/{doc_id:09d}")
+            htmls.append(
+                (
+                    "<html><head><title>x</title></head><body>\n"
+                    f'<div class="container"><h1> Doc {doc_id} &amp; Co </h1>\n'
+                    f"<article>\n<p> P{doc_id} one <b>bold</b> {tmd5} </p>\n"
+                    "<p>Advertisement feature</p>\n"
+                    f"<p>P{doc_id} two &lt;tag&gt; end</p>\n</article></div>\n"
+                    "</body></html>"
+                ).encode()
+            )
+        m = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "warc_ts": pa.array([0] * m, type=pa.timestamp("us")),
+                "html": pa.array(htmls, type=pa.binary()),
+                "text": pa.array([""] * m, type=pa.string()),
+                "lang": pa.array(["en"] * m, type=pa.string()),
+            }
+        )
+
+    def hash_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "title": pa.array(
+                    batch["title"].to_pylist(), type=pa.string()
+                ),
+                "text_sha256": pa.array(
+                    [
+                        hashlib.sha256(t.encode()).hexdigest()
+                        for t in batch["text"].to_pylist()
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(make_html, batch_format="pyarrow")
+        .map_batches(extract_text_batch, batch_format="pyarrow")
+        .map_batches(hash_out, batch_format="pyarrow")
+        .sort("url")
+    )

@@ -535,3 +535,101 @@ def test_clean_schema_strips_metadata_and_prunes():
     pruned = clean_schema(f"{SF}/documents.parquet", ["doc_id", "text"])
     assert pruned.names == ["doc_id", "text"]
     assert all(f.metadata is None for f in pruned)
+
+
+def test_doc_decontaminate_matches_driver_scan(ray_session):
+    """Broadcast-probe decontamination == a single-process scan, and the
+    eval docs themselves are never flagged."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _tokens, doc_decontaminate
+
+    got = doc_decontaminate(SF).to_pandas().set_index("doc_id")
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    grams = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _tokens(x)
+        grams[d] = [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + 8]).encode()).digest()[8:],
+                "little",
+            )
+            for i in range(len(toks) - 7)
+        ]
+    ev = set()
+    for d, hs in grams.items():
+        if d % 97 == 0:
+            ev.update(hs)
+    for d, hs in grams.items():
+        row = got.loc[d]
+        hits = sum(1 for h in hs if h in ev)
+        assert row["n_grams"] == len(hs)
+        assert row["n_hits"] == hits
+        assert row["is_eval"] == (1 if d % 97 == 0 else 0)
+        assert row["contaminated"] == (1 if d % 97 != 0 and hits else 0)
+    # every eval doc hits its own grams but is never flagged
+    evals = got[got["is_eval"] == 1]
+    assert (evals["contaminated"] == 0).all()
+    assert (evals[evals["n_grams"] > 0]["n_hits"] > 0).all()
+
+
+def test_doc_pii_scrub_redacts_planted_spans(ray_session):
+    """Every doc carries ≥1 planted email/phone/IP; the redacted text
+    contains none of the three patterns."""
+    import hashlib
+
+    from hinbox_ray.pipelines.textops import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+        doc_pii_scrub,
+    )
+
+    got = doc_pii_scrub(SF).to_pandas()
+    assert (got["n_emails"] >= 1).all()
+    assert (got["n_phones"] >= 1).all()
+    assert (got["n_ips"] >= 1).all()
+    # reproduce one row end-to-end: redaction removed every match
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    d0 = t["doc_id"][0].as_py()
+    x0 = t["text"][0].as_py()
+    planted = (
+        f"{x0} Contact user{d0 % 1000}@example.com or "
+        f"+1-555-{d0 % 10000:04d} today from {d0 % 256}.0.113.7 now."
+    )
+    clean = _IP_RE.sub(
+        "<IP>", _PHONE_RE.sub("<PHONE>", _EMAIL_RE.sub("<EMAIL>", planted))
+    )
+    assert not _EMAIL_RE.search(clean)
+    assert not _PHONE_RE.search(clean)
+    row = got[got["doc_id"] == d0].iloc[0]
+    assert row["clean_sha256"] == hashlib.sha256(clean.encode()).hexdigest()
+
+
+def test_pages_extract_text_planted_closed_form(ray_session):
+    """The real extractor over the planted template == the closed-form
+    expected text for every doc (the oracle's claim, checked in-process)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import pages_extract_text_planted
+
+    got = pages_extract_text_planted(SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tmd5 = hashlib.md5(x.encode()).hexdigest()
+        body = f"P{d} one bold {tmd5}\n\nP{d} two <tag> end"
+        exp[f"https://planted.example/{d:09d}"] = (
+            f"Doc {d} & Co",
+            hashlib.sha256(body.encode()).hexdigest(),
+        )
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        assert exp[row.url] == (row.title, row.text_sha256)
