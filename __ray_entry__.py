@@ -167,12 +167,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": T.doc_lang_id,
         "doc_quality_score": T.doc_quality_score,
         "doc_quality_filter": T.doc_quality_filter,
+        # actor-pool model inference (weights loaded once per actor)
+        "doc_ml_quality": T.doc_ml_quality,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
         # vectors exactly — oracle-backed since round 4
         "doc_embed": lambda sf: T.doc_embed(sf).drop_columns(["embedding"]),
         "doc_minhash_neardup": T.doc_minhash_neardup,
+        # pairs → connected components → keeper election (recursive-CTE
+        # oracle recomputes the clusters from the exact pair set)
+        "doc_neardup_clusters": T.doc_neardup_clusters,
         "doc_jaccard_sample": T.doc_jaccard_sample,
         "doc_wordpiece_count": T.doc_wordpiece_count,
         "doc_simhash_neardup": T.doc_simhash_neardup,
@@ -578,6 +583,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_e6
             FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b
         """,
+        "doc_neardup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            gs AS (
+                SELECT doc_id, list(DISTINCT gram) AS grams FROM g GROUP BY doc_id
+            ),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM gs a JOIN gs b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / len(list_distinct(a.grams || b.grams)) >= 0.5
+            ),
+            e AS (
+                SELECT doc_a AS u, doc_b AS v FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+            ),
+            lab AS (
+                SELECT u AS doc_id, min(r)::BIGINT AS cluster_id
+                FROM reach GROUP BY u
+            )
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+                   (CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM documents d LEFT JOIN lab l USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "doc_jaccard_sample": """
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -682,6 +726,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, h AS term_h, tf, df, score
             FROM scored WHERE rn = 1
+        """,
+        "doc_ml_quality": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       (((((md5_number_lower(x) % 4096) * 2654435761)
+                          % 2147483648) % 2001)::BIGINT - 1000) AS w
+                FROM toks, unnest(t) AS u(x)
+            ),
+            s AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(w)::BIGINT AS score
+                FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(s.score, 0)::BIGINT AS score,
+                   (CASE WHEN coalesce(s.score, 0) > 0
+                         THEN 1 ELSE 0 END)::BIGINT AS label
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_decontaminate": """
             WITH toks AS (

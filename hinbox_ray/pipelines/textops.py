@@ -2478,3 +2478,206 @@ def pages_extract_text_planted(sf_dir: str) -> ray.data.Dataset:
         .map_batches(hash_out, batch_format="pyarrow")
         .sort("url")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup clustering (pairs → components → keeper election)
+
+
+def doc_neardup_clusters(
+    sf_dir: str, threshold: float = 0.5, n_buckets: int = 512
+) -> ray.data.Dataset:
+    """The complete corpus near-dedup decision: which doc survives.
+
+    Composes the toolbox end to end — MinHash-LSH verified pairs
+    (``doc_minhash_neardup``) → distributed connected components
+    (``stages.cc``, the same star-contraction engine the KG flagship
+    uses) → keeper election (keep the min doc_id of each cluster).
+    Emits one row per corpus doc: (doc_id, cluster_id = min doc_id of
+    its near-dup component, keep ∈ {0,1}); singletons keep themselves.
+
+    Scale plan: pairs are the LSH output (near-linear); CC shuffles
+    only (u, v) int64 edges with the early-driver-finish hybrid; the
+    cluster-id attach is ONE bucketed co-group on
+    ``doc_id % n_buckets`` (the component map is corpus-scale in the
+    worst case, so it is never collected or broadcast). The DuckDB
+    oracle recomputes clusters independently via a recursive-CTE
+    transitive closure over the exact-Jaccard pair set.
+    """
+    from ..stages.cc import connected_components
+
+    pairs = doc_minhash_neardup(sf_dir, threshold)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": df["doc_a"].astype(np.int64),
+                "v": df["doc_b"].astype(np.int64),
+            }
+        )
+
+    comps = connected_components(
+        pairs.map_batches(to_edges, batch_format="pandas")
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "component": pd.Series(
+                    np.full(len(df), -1, dtype=np.int64)
+                ),
+                "_src": pd.Series(np.zeros(len(df), dtype=np.int8)),
+            }
+        )
+        out["_gbucket"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["node_id"].astype(np.int64),
+                "component": df["component"].astype(np.int64),
+                "_src": pd.Series(np.ones(len(df), dtype=np.int8)),
+            }
+        )
+        out["_gbucket"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        maps = g[g["_src"] == 1][["doc_id", "component"]].drop_duplicates(
+            "doc_id"
+        )
+        rows = g[g["_src"] == 0]
+        did = rows["doc_id"].astype(np.int64).to_numpy()
+        if maps.empty:
+            cluster = did
+        else:
+            # int-exact left lookup (merge+fillna would round-trip the
+            # int64 cluster id through float64 — see attach_component)
+            idx = pd.Index(maps["doc_id"].astype(np.int64).to_numpy())
+            pos = idx.get_indexer(did)
+            comp = maps["component"].astype(np.int64).to_numpy()
+            cluster = np.where(pos >= 0, comp[np.maximum(pos, 0)], did)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(did, dtype=np.int64),
+                "cluster_id": pd.Series(cluster, dtype=np.int64),
+                "keep": pd.Series(
+                    (cluster == did).astype(np.int64), dtype=np.int64
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .union(comps.map_batches(tag_comp, batch_format="pandas"))
+        .groupby("_gbucket")
+        .map_groups(resolve, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (hashed-feature linear scorer)
+
+_MLQ_DIM = 4096
+
+
+def _mlq_weights(dim: int = _MLQ_DIM) -> np.ndarray:
+    """Deterministic integer weight table: w[b] ∈ [−1000, 1000]
+    (Knuth-multiplicative mix of the bucket index). Integer end to end
+    so the DuckDB oracle reproduces every score exactly — the stand-in
+    for real trained fasttext/logreg weights, which would load from a
+    checkpoint file in this exact __init__ seam."""
+    b = np.arange(dim, dtype=np.uint64)
+    return (
+        ((b * np.uint64(2654435761)) % np.uint64(1 << 31)) % np.uint64(2001)
+    ).astype(np.int64) - 1000
+
+
+class _LinearQualityStage:
+    """Actor-pool inference stage: the weight table is built ONCE per
+    actor in __init__ (the model-load seam — a real classifier swaps in
+    a checkpoint read here), __call__ scores each batch vectorized
+    (hash → bucket → np.take → per-doc segment sum)."""
+
+    def __init__(self, dim: int = _MLQ_DIM):
+        self.dim = dim
+        self.w = _mlq_weights(dim)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        doc_ids, n_toks, scores = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _tokens(text)
+            if toks:
+                idx = (
+                    np.fromiter(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(t.encode()).digest()[8:], "little"
+                            )
+                            for t in toks
+                        ),
+                        dtype=np.uint64,
+                        count=len(toks),
+                    )
+                    % np.uint64(self.dim)
+                ).astype(np.int64)
+                score = int(self.w[idx].sum())
+            else:
+                score = 0
+            doc_ids.append(doc_id)
+            n_toks.append(len(toks))
+            scores.append(score)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "n_tokens": pd.Series(n_toks, dtype=np.int64),
+                "score": pd.Series(scores, dtype=np.int64),
+            }
+        )
+        df["label"] = (df["score"] > 0).astype(np.int64)
+        return df
+
+
+def doc_ml_quality(
+    sf_dir: str, concurrency: Optional[int] = None
+) -> ray.data.Dataset:
+    """Model-scored quality labels over the corpus.
+
+    The batched-inference pattern of a CCNet/fasttext-style quality
+    classifier: a stateful actor pool (weights loaded once per actor in
+    ``__init__``), vectorized per-batch scoring, shuffle-free output of
+    (doc_id, n_tokens, score, label). The model here is a hashed-token
+    linear scorer with deterministic integer weights so the oracle is
+    hash-exact; a trained model is a weight-file swap in the stage's
+    __init__.
+
+    Pool sizing follows the house rule (max(2, n_cpus−2) — full-width
+    pools starve the read and deadlock)."""
+    if concurrency is None:
+        n_cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        concurrency = max(2, n_cpus - 2)
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            _LinearQualityStage,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .sort("doc_id")
+    )

@@ -633,3 +633,82 @@ def test_pages_extract_text_planted_closed_form(ray_session):
     assert len(got) == len(exp)
     for row in got.itertuples():
         assert exp[row.url] == (row.title, row.text_sha256)
+
+
+def test_doc_neardup_clusters_matches_driver_union_find(ray_session):
+    """Distributed pairs→CC→election == a single-process union-find over
+    the same verified pair set; every cluster keeps exactly one doc."""
+    from hinbox_ray.pipelines.textops import (
+        doc_minhash_neardup,
+        doc_neardup_clusters,
+    )
+
+    pairs = doc_minhash_neardup(SF).to_pandas()
+    got = doc_neardup_clusters(SF).to_pandas().set_index("doc_id")
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id relabel
+    members: dict = {}
+    for x in list(parent):
+        members.setdefault(find(x), set()).add(x)
+    exp = {}
+    for root, mem in members.items():
+        m = min(mem)
+        for x in mem:
+            exp[x] = m
+    for row in got.reset_index().itertuples():
+        assert row.cluster_id == exp.get(row.doc_id, row.doc_id)
+        assert row.keep == (1 if row.cluster_id == row.doc_id else 0)
+    # exactly one keeper per cluster, all corpus docs present
+    keepers = got[got["keep"] == 1]
+    assert set(keepers.index) == set(got["cluster_id"].unique())
+    assert got["cluster_id"].le(got.index.to_series()).all()
+
+
+def test_doc_ml_quality_scores_match_hand_scan(ray_session):
+    """Actor-pool inference == a hand computation with the same weight
+    table; both labels occur (the score split is non-vacuous)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import (
+        _MLQ_DIM,
+        _mlq_weights,
+        _tokens,
+        doc_ml_quality,
+    )
+
+    got = doc_ml_quality(SF).to_pandas()
+    assert got["label"].nunique() == 2, got["label"].value_counts()
+
+    w = _mlq_weights()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for d, x in list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:5]:
+        toks = _tokens(x)
+        score = sum(
+            int(
+                w[
+                    int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[8:], "little"
+                    )
+                    % _MLQ_DIM
+                ]
+            )
+            for tok in toks
+        )
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["n_tokens"] == len(toks)
+        assert row["score"] == score
+        assert row["label"] == (1 if score > 0 else 0)
