@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": T.doc_quality_filter,
         # actor-pool model inference (weights loaded once per actor)
         "doc_ml_quality": T.doc_ml_quality,
+        # distributed integer-Lloyd k-means (broadcast centroids,
+        # map-side combine, k×dim driver state)
+        "doc_embed_kmeans": T.doc_embed_kmeans,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
@@ -262,6 +265,89 @@ def _kg_grounding(sf_dir: str) -> Any:
     from hinbox_ray.stages.grounding import grounding_from_sf
 
     return grounding_from_sf(sf_dir)
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+    """Unrolled integer-Lloyd k-means in DuckDB: sparse (doc_id, idx,
+    cnt) vectors, exact int64 distances via l2+l2−2·dot, argmin
+    tie-break on cluster index, floor(sum/n) centroid update — the SAME
+    protocol as textops.doc_embed_kmeans (iters × {assign → update},
+    then a final assignment)."""
+    ctes = [
+        "p AS (SELECT doc_id, chr(2) || text || chr(3) AS s FROM documents)",
+        """g AS (SELECT doc_id, substr(s, i, 3) AS gram
+              FROM p, unnest(range(1, greatest(len(s) - 1, 2))) AS u(i))""",
+        """b AS (SELECT doc_id,
+                     (md5_number_lower(gram) % 64)::BIGINT AS idx,
+                     CASE WHEN (md5_number_lower(gram) >> 32) & 1 = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM g)""",
+        """vec AS (SELECT doc_id, idx, SUM(sgn)::BIGINT AS cnt
+               FROM b GROUP BY doc_id, idx)""",
+        """v2 AS (SELECT doc_id, SUM(cnt*cnt)::BIGINT AS l2
+              FROM vec GROUP BY doc_id)""",
+        f"""seed AS (SELECT doc_id,
+                        (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS cl
+                 FROM (SELECT doc_id FROM documents
+                       ORDER BY doc_id LIMIT {k}))""",
+        """cent0 AS (SELECT s.cl, v.idx, v.cnt AS val
+                 FROM seed s JOIN vec v USING (doc_id))""",
+    ]
+    for i in range(iters):
+        c, n = f"cent{i}", f"cent{i + 1}"
+        ctes += [
+            f"""c2_{i} AS (SELECT cl, SUM(val*val)::BIGINT AS l2
+                   FROM {c} GROUP BY cl)""",
+            f"""dot_{i} AS (SELECT v.doc_id, c.cl,
+                           SUM(v.cnt * c.val)::BIGINT AS d
+                    FROM vec v JOIN {c} c ON v.idx = c.idx
+                    GROUP BY v.doc_id, c.cl)""",
+            f"""dist_{i} AS (SELECT v2.doc_id, cc.cl,
+                            (v2.l2 + cc.l2
+                             - 2*coalesce(dt.d, 0))::BIGINT AS dist
+                     FROM v2 CROSS JOIN c2_{i} cc
+                     LEFT JOIN dot_{i} dt
+                       ON dt.doc_id = v2.doc_id AND dt.cl = cc.cl)""",
+            f"""memb_{i} AS (SELECT doc_id, cl FROM (
+                       SELECT doc_id, cl, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY dist, cl) AS rn
+                       FROM dist_{i}) WHERE rn = 1)""",
+            f"""cnt_{i} AS (SELECT cl, count(*)::BIGINT AS n
+                    FROM memb_{i} GROUP BY cl)""",
+            f"""sums_{i} AS (SELECT m.cl, v.idx, SUM(v.cnt)::BIGINT AS s
+                     FROM memb_{i} m JOIN vec v USING (doc_id)
+                     GROUP BY m.cl, v.idx)""",
+            f"""{n} AS (SELECT s.cl, s.idx,
+                        CAST(floor(s.s::DOUBLE / c.n) AS BIGINT) AS val
+                 FROM sums_{i} s JOIN cnt_{i} c USING (cl)
+                 UNION ALL
+                 SELECT c0.cl, c0.idx, c0.val FROM {c} c0
+                 WHERE c0.cl NOT IN (SELECT cl FROM cnt_{i}))""",
+        ]
+    f = f"cent{iters}"
+    ctes += [
+        f"""c2_f AS (SELECT cl, SUM(val*val)::BIGINT AS l2
+               FROM {f} GROUP BY cl)""",
+        f"""dot_f AS (SELECT v.doc_id, c.cl, SUM(v.cnt * c.val)::BIGINT AS d
+               FROM vec v JOIN {f} c ON v.idx = c.idx
+               GROUP BY v.doc_id, c.cl)""",
+        """dist_f AS (SELECT v2.doc_id, cc.cl,
+                     (v2.l2 + cc.l2 - 2*coalesce(dt.d, 0))::BIGINT AS dist
+              FROM v2 CROSS JOIN c2_f cc
+              LEFT JOIN dot_f dt
+                ON dt.doc_id = v2.doc_id AND dt.cl = cc.cl)""",
+    ]
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + """
+            SELECT doc_id, cl::BIGINT AS cluster, dist::BIGINT AS dist_sq
+            FROM (SELECT doc_id, cl, dist, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY dist, cl) AS rn
+                  FROM dist_f)
+            WHERE rn = 1 ORDER BY doc_id
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -727,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h AS term_h, tf, df, score
             FROM scored WHERE rn = 1
         """,
+        "doc_embed_kmeans": _kmeans_oracle_sql(),
         "doc_ml_quality": """
             WITH toks AS (
                 SELECT doc_id,

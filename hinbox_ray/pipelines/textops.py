@@ -2681,3 +2681,137 @@ def doc_ml_quality(
         )
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over integer embeddings (the IVF/ANN building block)
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_vectors(batch: pa.Table, dim: int) -> tuple:
+    """(doc_ids int64[n], dense int64[n, dim]) from a documents batch."""
+    from ..functions.hashing import md5_ngram_embedding
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch["text"].to_pylist()
+    V = np.zeros((len(texts), dim), dtype=np.int64)
+    for i, t in enumerate(texts):
+        V[i] = md5_ngram_embedding(t, dim=dim, dtype=np.float64).astype(
+            np.int64
+        )
+    return ids, V
+
+
+def _km_assign(V: np.ndarray, C: np.ndarray) -> tuple:
+    """(cluster int64[n], dist_sq int64[n]): exact integer argmin with
+    first-min (= smallest cluster index) tie-breaking."""
+    # ||v-c||² = ||v||² − 2 v·c + ||c||², all int64 (counts are small)
+    d2 = (
+        np.einsum("ij,ij->i", V, V)[:, None]
+        - 2 * (V @ C.T)
+        + np.einsum("ij,ij->i", C, C)[None, :]
+    )
+    cl = np.argmin(d2, axis=1)  # first minimum → smallest cluster id
+    return cl.astype(np.int64), d2[np.arange(len(V)), cl].astype(np.int64)
+
+
+def doc_embed_kmeans(
+    sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM
+) -> ray.data.Dataset:
+    """Distributed Lloyd k-means over the md5-count doc embeddings.
+
+    The clustering primitive under an IVF/ANN index and corpus
+    topic-bucketing, in the canonical Ray Data shape: centroids are
+    broadcast (``ray.put``) into a stateless assign+combine map that
+    emits k partial rows per BLOCK (count + per-dimension sums — the
+    map-side combiner), a ``repartition(1)`` task folds the partials,
+    and only k×dim integers ever reach the driver per iteration — the
+    corpus is streamed, never collected, and there is no corpus-scale
+    shuffle (the all-to-all of a naive groupby(cluster) update is
+    replaced by the k-row combine).
+
+    Hash-exact across engines: vectors are integer n-gram counts,
+    distances are exact int64, the centroid update is
+    ``floor(sum / count)`` (exact in float64 at these magnitudes), the
+    argmin tie-break is the smaller cluster index, and seeds are the k
+    lowest-doc_id vectors. The DuckDB oracle unrolls the same ``iters``
+    rounds over the sparse (doc_id, idx, cnt) representation. Protocol:
+    ``iters`` × {assign → update}, then one final assignment against
+    the final centroids; emits (doc_id, cluster, dist_sq).
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # seeds: the k lowest-doc_id vectors (tiny driver pull, k rows)
+    seed_tbl = pa.Table.from_pandas(
+        docs.sort("doc_id").limit(k).to_pandas(), preserve_index=False
+    )
+    _, C = _km_vectors(seed_tbl, dim)
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            Cb = ray.get(cref)
+            _, V = _km_vectors(batch, dim)
+            cl, _d = _km_assign(V, Cb)
+            rows = []
+            for c in range(len(Cb)):
+                sel = V[cl == c]
+                rows.append(
+                    {
+                        "cl": np.int64(c),
+                        "n": np.int64(len(sel)),
+                        "s": sel.sum(axis=0).astype(np.int64).tobytes(),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for c, g in df.groupby("cl", sort=True):
+                tot = np.zeros(dim, dtype=np.int64)
+                for s in g["s"]:
+                    tot += np.frombuffer(s, dtype=np.int64)
+                out.append(
+                    {
+                        "cl": np.int64(c),
+                        "n": np.int64(g["n"].sum()),
+                        "s": tot.tobytes(),
+                    }
+                )
+            return pd.DataFrame(out)
+
+        folded = (
+            docs.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None)
+            .take_all()
+        )
+        newC = C.copy()
+        for r in folded:
+            if r["n"] > 0:
+                s = np.frombuffer(r["s"], dtype=np.int64)
+                # floor(sum/count): exact in float64 at count-magnitudes
+                newC[r["cl"]] = np.floor_divide(s, r["n"])
+        C = newC
+
+    cref = ray.put(C)
+
+    def final_assign(batch: pa.Table) -> pd.DataFrame:
+        Cb = ray.get(cref)
+        ids, V = _km_vectors(batch, dim)
+        cl, d2 = _km_assign(V, Cb)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "cluster": pd.Series(cl, dtype=np.int64),
+                "dist_sq": pd.Series(d2, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(final_assign, batch_format="pyarrow").sort(
+        "doc_id"
+    )

@@ -712,3 +712,46 @@ def test_doc_ml_quality_scores_match_hand_scan(ray_session):
         assert row["n_tokens"] == len(toks)
         assert row["score"] == score
         assert row["label"] == (1 if score > 0 else 0)
+
+
+def test_doc_embed_kmeans_matches_driver_lloyd(ray_session):
+    """Distributed k-means (broadcast centroids + map-side combine) ==
+    a dense single-process Lloyd loop with the same integer protocol."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.functions.hashing import md5_ngram_embedding
+    from hinbox_ray.pipelines.textops import doc_embed_kmeans
+
+    K, ITERS, DIM = 4, 2, 64
+    got = doc_embed_kmeans(SF).to_pandas().set_index("doc_id")
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.array(t["doc_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    V = np.zeros((len(ids), DIM), dtype=np.int64)
+    for i, x in enumerate(t["text"].to_pylist()):
+        V[i] = md5_ngram_embedding(x, dim=DIM, dtype=np.float64).astype(
+            np.int64
+        )
+    C = V[order[:K]].copy()
+
+    def assign(V, C):
+        d2 = (
+            np.einsum("ij,ij->i", V, V)[:, None]
+            - 2 * (V @ C.T)
+            + np.einsum("ij,ij->i", C, C)[None, :]
+        )
+        cl = np.argmin(d2, axis=1)
+        return cl, d2[np.arange(len(V)), cl]
+
+    for _ in range(ITERS):
+        cl, _ = assign(V, C)
+        for c in range(K):
+            sel = V[cl == c]
+            if len(sel):
+                C[c] = np.floor_divide(sel.sum(axis=0), len(sel))
+    cl, d2 = assign(V, C)
+    for i, d in enumerate(ids):
+        assert got.loc[d, "cluster"] == cl[i]
+        assert got.loc[d, "dist_sq"] == d2[i]
+    assert got["cluster"].nunique() == K
