@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed integer-Lloyd k-means (broadcast centroids,
         # map-side combine, k×dim driver state)
         "doc_embed_kmeans": T.doc_embed_kmeans,
+        # corpus-trained bigram-LM surprise (CCNet perplexity shape)
+        "doc_lm_surprise": T.doc_lm_surprise,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
@@ -814,6 +816,39 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "doc_embed_kmeans": _kmeans_oracle_sql(),
+        "doc_lm_surprise": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id,
+                       md5_number_lower(t[i]) AS h1,
+                       md5_number_lower(t[i] || chr(31) || t[i+1]) AS hb
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2
+            ),
+            cb AS (SELECT hb, count(*)::BIGINT AS c FROM bg GROUP BY hb),
+            cu AS (SELECT h1, count(*)::BIGINT AS c FROM bg GROUP BY h1),
+            s AS (
+                SELECT bg.doc_id,
+                       count(*)::BIGINT AS n_bigrams,
+                       sum((cu.c * 1000) // cb.c)::BIGINT AS surprise_total
+                FROM bg JOIN cb USING (hb) JOIN cu USING (h1)
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(s.surprise_total, 0)::BIGINT AS surprise_total,
+                   (CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                         THEN s.surprise_total // s.n_bigrams
+                         ELSE 0 END)::BIGINT AS surprise_avg_milli
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "doc_ml_quality": """
             WITH toks AS (
                 SELECT doc_id,

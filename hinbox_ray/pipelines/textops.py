@@ -2815,3 +2815,170 @@ def doc_embed_kmeans(
     return docs.map_batches(final_assign, batch_format="pyarrow").sort(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM surprise (CCNet-style perplexity filter shape)
+
+
+def doc_lm_surprise(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
+    """Per-doc surprise under a corpus-trained bigram count model.
+
+    The shape of CCNet's KenLM perplexity filter with the LM trained on
+    the corpus itself: count every (w1, w2) bigram occurrence and every
+    w1 prefix occurrence corpus-wide, then score each doc by how rare
+    its continuations are — surprise(w1→w2) = (cnt(w1)·1000) //
+    cnt(w1,w2) (≥1000, integer so the oracle is hash-exact; a real
+    KenLM is a weight-file swap at the attach step). Emits (doc_id,
+    n_bigrams, surprise_total, surprise_avg_milli).
+
+    Scale plan (the tfidf pattern with two attaches): one map emits
+    per-(doc, bigram) multiplicity rows carrying both hashes — token
+    text never crosses the wire; the bigram count and its attach are
+    ONE co-group on ``hb % n_buckets`` (every occurrence of a bigram
+    co-locates, so the bucket kernel counts and joins in place);
+    likewise the prefix-unigram count on ``h1 % n_buckets``; the
+    per-doc fold shuffles integer partials on ``doc_id % n_buckets``.
+    """
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, h1s, hbs, ms = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _tokens(text)
+            counts: dict = {}
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = (
+                    counts.get((toks[i], toks[i + 1]), 0) + 1
+                )
+            for (w1, w2), m in counts.items():
+                doc_ids.append(doc_id)
+                h1s.append(
+                    int.from_bytes(
+                        hashlib.md5(w1.encode()).digest()[8:], "little"
+                    )
+                )
+                hbs.append(
+                    int.from_bytes(
+                        hashlib.md5(
+                            (w1 + "\x1f" + w2).encode()
+                        ).digest()[8:],
+                        "little",
+                    )
+                )
+                ms.append(m)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "h1": pd.Series(h1s, dtype=np.uint64),
+                "hb": pd.Series(hbs, dtype=np.uint64),
+                "m": pd.Series(ms, dtype=np.int64),
+            }
+        )
+        df["_bb"] = (df["hb"] % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def attach_bigram_count(g: pd.DataFrame) -> pd.DataFrame:
+        cb = g.groupby("hb")["m"].transform("sum").to_numpy()
+        out = g.drop(columns=["_bb"]).copy()
+        out["cb"] = cb.astype(np.int64)
+        out["_ub"] = (out["h1"] % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def attach_prefix_count(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g.groupby("h1")["m"].transform("sum").to_numpy()
+        m = g["m"].to_numpy()
+        surprise = m * (
+            (cu.astype(np.int64) * 1000) // g["cb"].to_numpy()
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_bigrams": m,
+                "surprise_total": surprise.astype(np.int64),
+            }
+        )
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.drop(columns=["_db"]).groupby(
+            "doc_id", as_index=False, sort=True
+        ).sum()
+        nb = tot["n_bigrams"].to_numpy(dtype=np.int64)
+        st = tot["surprise_total"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": tot["doc_id"].astype(np.int64),
+                "n_bigrams": nb,
+                "surprise_total": st,
+                "surprise_avg_milli": np.where(nb > 0, st // np.maximum(nb, 1), 0),
+            }
+        )
+
+    scored = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_bb")
+        .map_groups(attach_bigram_count, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(attach_prefix_count, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    # left-join back to the corpus so <2-token docs emit zero rows too
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_bigrams": pd.Series(np.zeros(len(df), dtype=np.int64)),
+                "surprise_total": pd.Series(
+                    np.zeros(len(df), dtype=np.int64)
+                ),
+                "surprise_avg_milli": pd.Series(
+                    np.zeros(len(df), dtype=np.int64)
+                ),
+                "_src": pd.Series(np.zeros(len(df), dtype=np.int8)),
+            }
+        )
+        out["_jb"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def tag_scored(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_src"] = np.int8(1)
+        out["_jb"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        scored_rows = g[g["_src"] == 1]
+        docs_rows = g[g["_src"] == 0]
+        missing = docs_rows[
+            ~docs_rows["doc_id"].isin(scored_rows["doc_id"])
+        ]
+        out = pd.concat([scored_rows, missing], ignore_index=True)
+        return out.drop(columns=["_src", "_jb"]).astype(
+            {
+                "doc_id": np.int64,
+                "n_bigrams": np.int64,
+                "surprise_total": np.int64,
+                "surprise_avg_milli": np.int64,
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .union(scored.map_batches(tag_scored, batch_format="pandas"))
+        .groupby("_jb")
+        .map_groups(resolve, batch_format="pandas")
+        .sort("doc_id")
+    )

@@ -755,3 +755,44 @@ def test_doc_embed_kmeans_matches_driver_lloyd(ray_session):
         assert got.loc[d, "cluster"] == cl[i]
         assert got.loc[d, "dist_sq"] == d2[i]
     assert got["cluster"].nunique() == K
+
+
+def test_doc_lm_surprise_edge_docs(ray_session, tmp_path):
+    """Empty and single-token docs emit zero rows through the join-back
+    path; a bigram occurring everywhere scores lower surprise than a
+    unique continuation."""
+    import pyarrow.parquet as pq_w
+
+    from hinbox_ray.pipelines.textops import doc_lm_surprise
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "",  # no tokens
+                    "solo",  # one token, no bigram
+                    "a b a b",  # common bigrams
+                    "a b",  # the common bigram again
+                    "a z",  # rare continuation of 'a'
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_w.write_table(tbl, str(d / "documents.parquet"))
+    got = doc_lm_surprise(str(d)).to_pandas().set_index("doc_id")
+    assert list(got.index) == [1, 2, 3, 4, 5]
+    assert (got.loc[[1, 2], ["n_bigrams", "surprise_total"]] == 0).all().all()
+    # cnt(a)=4 prefix occurrences ('a b' x3, 'a z' x1); cnt(a,b)=3, cnt(a,z)=1
+    # surprise(a->b) = 4000//3 = 1333; surprise(a->z) = 4000//1 = 4000
+    assert got.loc[5, "surprise_total"] == 4000
+    assert got.loc[4, "surprise_total"] == 1333
+    # doc 3: bigrams (a,b)x2 + (b,a)x1 -> 1333*2 + (3000//1... cnt(b)=3? )
+    # cnt(b as prefix): 'b a' x1 ('a b a b' pos2) => cnt(b)=1? positions:
+    # doc3 tokens a b a b -> bigrams (a,b),(b,a),(a,b); prefix b count = 1
+    # surprise(b->a) = 1000//1 = 1000 -> total = 1333+1333+1000
+    assert got.loc[3, "surprise_total"] == 1333 * 2 + 1000
+    assert got.loc[3, "surprise_avg_milli"] == (1333 * 2 + 1000) // 3
