@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embed_kmeans": T.doc_embed_kmeans,
         # corpus-trained bigram-LM surprise (CCNet perplexity shape)
         "doc_lm_surprise": T.doc_lm_surprise,
+        # temperature-based source mixing (sqrt-share downsampling)
+        "doc_sample_temperature": T.doc_sample_temperature,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
@@ -218,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         # --- windowed / per-group operators
         "events_sessionize": A.events_sessionize,
+        # ordered view→click→purchase funnel (per-view EXISTS chain)
+        "events_funnel": A.events_funnel,
         "events_asof_last_error": A.events_asof_last_error,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
@@ -816,6 +820,35 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "doc_embed_kmeans": _kmeans_oracle_sql(),
+        "doc_sample_temperature": """
+            WITH mix AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'hot_web'
+                            ELSE source END AS source
+                FROM documents
+            ),
+            c AS (
+                SELECT source, count(*)::BIGINT AS n
+                FROM mix GROUP BY source
+            ),
+            wt AS (
+                SELECT source, n,
+                       CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS w
+                FROM c
+            ),
+            tot AS (SELECT sum(w)::BIGINT AS W FROM wt),
+            r AS (
+                SELECT wt.source,
+                       least(1000,
+                             (250 * wt.w * 1000) // (tot.W * wt.n)
+                       )::BIGINT AS rate_milli
+                FROM wt CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.source, r.rate_milli
+            FROM mix d JOIN r USING (source)
+            WHERE md5_number_lower(d.doc_id::VARCHAR) % 1000 < r.rate_milli
+            ORDER BY d.doc_id
+        """,
         "doc_lm_surprise": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1009,6 +1042,35 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.85
             ORDER BY vec_a, vec_b
+        """,
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            conv AS (
+                SELECT v.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM events c, events p
+                           WHERE c.user_id = v.user_id
+                             AND p.user_id = v.user_id
+                             AND c.event_type = 'click'
+                             AND p.event_type = 'purchase'
+                             AND c.ts > v.ts AND p.ts > c.ts
+                             AND p.ts <= v.ts + INTERVAL 7 DAY
+                       ) THEN 1 ELSE 0 END AS ok
+                FROM v
+            ),
+            agg AS (
+                SELECT user_id, count(*)::BIGINT AS n_views,
+                       sum(ok)::BIGINT AS n_converted
+                FROM conv GROUP BY user_id
+            )
+            SELECT u.user_id,
+                   coalesce(a.n_views, 0)::BIGINT AS n_views,
+                   coalesce(a.n_converted, 0)::BIGINT AS n_converted
+            FROM u LEFT JOIN agg a USING (user_id)
+            ORDER BY u.user_id
         """,
         "events_sessionize": """
             WITH o AS (

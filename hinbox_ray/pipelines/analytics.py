@@ -1414,3 +1414,61 @@ def events_hll_users_sql(p: int = 14) -> str:
                END AS n_users_est
         FROM est
     """
+
+
+def events_funnel(sf_dir: str, window_s: int = 7 * 86400) -> ray.data.Dataset:
+    """Ordered view→click→purchase funnel per user.
+
+    The product-analytics funnel primitive: a view CONVERTS iff a click
+    follows it strictly and a purchase strictly follows that click,
+    with the purchase within ``window_s`` of the view (default 7 days
+    — the synthetic events' median per-user inter-event gap is ~7.7 h,
+    so an hour-scale window converts nothing). Counting is
+    per-view EXISTS (each view converts at most once), ties on equal
+    timestamps never chain (strict <), so both engines agree exactly.
+    Emits (user_id, n_views, n_converted).
+
+    Scale plan: one bucketed per-user co-group (user ids are
+    corpus-scale → `user_id % 512` buckets, the house rule); inside a
+    user frame the chain check is O(n log n) via two searchsorteds —
+    the FIRST click after the view minimizes the next-purchase time, so
+    no per-view scan. Timestamps cross engines as epoch microseconds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    win_us = window_s * 1_000_000
+
+    def funnel(g: "pd.DataFrame") -> "pd.DataFrame":
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        uid = int(g["user_id"].iloc[0])
+        views = np.sort(us[et == "view"])
+        clicks = np.sort(us[et == "click"])
+        purchases = np.sort(us[et == "purchase"])
+        n_conv = 0
+        if len(views) and len(clicks) and len(purchases):
+            # first click strictly after each view
+            ci = np.searchsorted(clicks, views, side="right")
+            ok = ci < len(clicks)
+            first_click = clicks[np.minimum(ci, len(clicks) - 1)]
+            # first purchase strictly after that click
+            pi = np.searchsorted(purchases, first_click, side="right")
+            ok &= pi < len(purchases)
+            first_purchase = purchases[
+                np.minimum(pi, len(purchases) - 1)
+            ]
+            ok &= first_purchase <= views + win_us
+            n_conv = int(ok.sum())
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([uid], dtype=np.int64),
+                "n_views": pd.Series([len(views)], dtype=np.int64),
+                "n_converted": pd.Series([n_conv], dtype=np.int64),
+            }
+        )
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    return bucketed_map_groups(ds, "user_id", funnel).sort("user_id")

@@ -2982,3 +2982,106 @@ def doc_lm_surprise(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         .map_groups(resolve, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing (Pile/GPT-3-style corpus downsampling)
+
+
+def doc_sample_temperature(
+    sf_dir: str, target_total: int = 250
+) -> ray.data.Dataset:
+    """Deterministic temperature-sampled corpus mix (α = 0.5).
+
+    The source-mixing pass of a pre-training corpus build: hot sources
+    are downsampled toward sqrt-share (w_s = ⌊√n_s⌋, the α=0.5
+    temperature reweight of GPT-3/Pile mixing), cold sources kept
+    whole. The sf fixtures' sources are uniform, so a deterministic
+    skew is planted first (the planted-augmentation house trick):
+    ``mix_source = 'hot_web' if doc_id % 2 == 0 else source`` — half
+    the corpus becomes one hot pseudo-source, making the temperature
+    DIFFERENTIAL non-vacuous (hot rate < cold rates, both checked by
+    the oracle). Per-source keep rate (integer milli-units, so both
+    engines agree exactly):
+
+        rate_milli(s) = min(1000, (target_total · w_s · 1000)
+                                   // (Σ_s' w_s' · n_s))
+
+    and a doc is kept iff ``md5_u64(str(doc_id)) % 1000 <
+    rate_milli(source)`` — a content-stable coin, reproducible across
+    runs/engines. Emits the kept docs (doc_id, source, rate_milli).
+
+    Scale plan: the per-source histogram is vocabulary-scale (one
+    combiner row per source per block → tiny groupby), the rate table
+    is a driver dict broadcast into a stateless filter map; no
+    corpus-scale shuffle. ⌊√n⌋ via IEEE double sqrt on BOTH engines
+    (correctly rounded, so the floors agree).
+    """
+
+    def _mix(doc_ids: np.ndarray, sources: list) -> list:
+        return [
+            "hot_web" if d % 2 == 0 else s
+            for d, s in zip(doc_ids.tolist(), sources)
+        ]
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": _mix(
+                    batch["doc_id"].to_numpy(zero_copy_only=False),
+                    batch["source"].to_pylist(),
+                )
+            }
+        )
+        out = df.groupby("source", sort=True).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts_ds = (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts = {r["source"]: int(r["n"]) for r in counts_ds.take_all()}
+    w = {s: int(np.floor(np.sqrt(float(n)))) for s, n in counts.items()}
+    W = sum(w.values())
+    rate = {
+        s: min(1000, (target_total * w[s] * 1000) // (W * counts[s]))
+        for s in counts
+    }
+    rate_ref = ray.put(rate)
+
+    def keep(batch: pa.Table) -> pd.DataFrame:
+        rates = ray.get(rate_ref)
+        doc_ids = batch["doc_id"].to_pylist()
+        sources = _mix(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["source"].to_pylist(),
+        )
+        out_id, out_src, out_rate = [], [], []
+        for d, s in zip(doc_ids, sources):
+            r = rates.get(s, 0)
+            coin = (
+                int.from_bytes(
+                    hashlib.md5(str(d).encode()).digest()[8:], "little"
+                )
+                % 1000
+            )
+            if coin < r:
+                out_id.append(d)
+                out_src.append(s)
+                out_rate.append(r)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype=np.int64),
+                "source": pd.Series(out_src, dtype=object),
+                "rate_milli": pd.Series(out_rate, dtype=np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("doc_id")
+    )
