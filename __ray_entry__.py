@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_surprise": T.doc_lm_surprise,
         # temperature-based source mixing (sqrt-share downsampling)
         "doc_sample_temperature": T.doc_sample_temperature,
+        # per-domain quality cap (block-combiner top-k, no wide shuffle)
+        "doc_topk_per_source": T.doc_topk_per_source,
         "doc_fingerprint": T.doc_fingerprint,
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
@@ -820,6 +822,58 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "doc_embed_kmeans": _kmeans_oracle_sql(),
+        "doc_topk_per_source": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       (CASE WHEN n_words < 50 OR n_words > 100000
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN n_words > 0
+                                 AND (mean_e3 < 3000 OR mean_e3 > 10000)
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN n_alpha * 10 < n_words * 8
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN n_sym * 10 > n_words
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN n_stop < 2 THEN 1 ELSE 0 END
+                       )::BIGINT AS quality_flags,
+                       n_words
+                FROM (
+                    SELECT doc_id, source,
+                           len(t)::BIGINT AS n_words,
+                           len(list_filter(t, x ->
+                               regexp_matches(x, '[A-Za-z]')))::BIGINT
+                             AS n_alpha,
+                           len(list_filter(t, x ->
+                               NOT regexp_matches(x, '[A-Za-z0-9]')))::BIGINT
+                             AS n_sym,
+                           len(list_filter(t, x -> x IN
+                               ('the','a','of','and','to','in')))::BIGINT
+                             AS n_stop,
+                           CASE WHEN len(t) = 0 THEN 0
+                                ELSE (coalesce(list_sum(list_transform(t,
+                                          x -> length(x))), 0) * 1000)
+                                     // len(t) END AS mean_e3
+                    FROM (
+                        SELECT doc_id, source,
+                               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                    ELSE regexp_split_to_array(
+                                        trim(text), '\\s+')
+                               END AS t
+                        FROM documents
+                    )
+                )
+            ),
+            r AS (
+                SELECT source, doc_id, quality_flags, n_words,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY quality_flags, n_words DESC, doc_id
+                       )::BIGINT AS rank
+                FROM f
+            )
+            SELECT source, doc_id, quality_flags, n_words, rank
+            FROM r WHERE rank <= 5 ORDER BY source, rank
+        """,
         "doc_sample_temperature": """
             WITH mix AS (
                 SELECT doc_id,

@@ -161,6 +161,34 @@ QUALITY_MEAN_LEN_HI_E3 = 10_000
 QUALITY_MIN_STOPWORDS = 2
 
 
+def _quality_features(text: str) -> tuple:
+    """(n_words, n_alpha_words, n_symbol_words, mean_word_len_e3,
+    quality_flags) — the shared all-integer Gopher-rule feature set
+    (doc_quality_score, doc_quality_filter, doc_topk_per_source)."""
+    stop = set(STOPWORDS)
+    toks = _tokens(text)
+    nw = len(toks)
+    na = sum(1 for t in toks if _ALPHA_RE.search(t))
+    ns = sum(1 for t in toks if not _ALNUM_RE.search(t))
+    nstop = sum(t in stop for t in toks)
+    sum_len = sum(map(len, toks))
+    m_e3 = (sum_len * 1000) // nw if nw else 0
+    f = 0
+    if nw < QUALITY_MIN_WORDS or nw > QUALITY_MAX_WORDS:
+        f += 1
+    if nw > 0 and (
+        m_e3 < QUALITY_MEAN_LEN_LO_E3 or m_e3 > QUALITY_MEAN_LEN_HI_E3
+    ):
+        f += 1
+    if na * 10 < nw * 8:
+        f += 1
+    if ns * 10 > nw:
+        f += 1
+    if nstop < QUALITY_MIN_STOPWORDS:
+        f += 1
+    return nw, na, ns, m_e3, f
+
+
 def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style document quality scoring, all-integer outputs.
 
@@ -174,29 +202,9 @@ def doc_quality_score(sf_dir: str) -> ray.data.Dataset:
     """
 
     def score(batch: pa.Table) -> pa.Table:
-        stop = set(STOPWORDS)
         n_words, n_alpha, n_sym, mean_e3, flags = [], [], [], [], []
         for text in batch["text"].to_pylist():
-            toks = _tokens(text)
-            nw = len(toks)
-            na = sum(1 for t in toks if _ALPHA_RE.search(t))
-            ns = sum(1 for t in toks if not _ALNUM_RE.search(t))
-            nstop = sum(t in stop for t in toks)
-            sum_len = sum(map(len, toks))
-            m_e3 = (sum_len * 1000) // nw if nw else 0
-            f = 0
-            if nw < QUALITY_MIN_WORDS or nw > QUALITY_MAX_WORDS:
-                f += 1
-            if nw > 0 and (
-                m_e3 < QUALITY_MEAN_LEN_LO_E3 or m_e3 > QUALITY_MEAN_LEN_HI_E3
-            ):
-                f += 1
-            if na * 10 < nw * 8:
-                f += 1
-            if ns * 10 > nw:
-                f += 1
-            if nstop < QUALITY_MIN_STOPWORDS:
-                f += 1
+            nw, na, ns, m_e3, f = _quality_features(text)
             n_words.append(nw)
             n_alpha.append(na)
             n_sym.append(ns)
@@ -3084,4 +3092,75 @@ def doc_sample_temperature(
         _read(sf_dir, "documents", columns=["doc_id", "source"])
         .map_batches(keep, batch_format="pyarrow")
         .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality cap (keep the best k docs of every source)
+
+
+def doc_topk_per_source(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Top-``k`` docs per source by quality (flags asc, n_words desc,
+    doc_id asc — a total order both engines share).
+
+    The per-domain cap of a curation pass: hot domains contribute at
+    most k (their best k), so no single domain dominates the mix.
+
+    Scale plan: per-group top-k where GROUPS ARE CORPUS-SCALE — a
+    groupby(source).map_groups would hand one task an entire domain's
+    rows (petabytes for a hot domain). Instead every block pre-thins to
+    its own per-source top-k (the combiner), so the final reduce sees
+    only blocks × sources × k candidate rows — one repartition(1) task,
+    the knn global-top-k shape. No corpus-scale shuffle.
+    """
+
+    def features(batch: pa.Table) -> pd.DataFrame:
+        rows = {
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "source": batch["source"].to_pylist(),
+        }
+        feats = [_quality_features(t) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "source": pd.Series(rows["source"], dtype=object),
+                "quality_flags": pd.Series(
+                    [f[4] for f in feats], dtype=np.int64
+                ),
+                "n_words": pd.Series([f[0] for f in feats], dtype=np.int64),
+            }
+        )
+        return _thin(df)
+
+    def _thin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "quality_flags", "n_words", "doc_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("source", sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "quality_flags": pd.Series([], dtype=np.int64),
+                    "n_words": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = _thin(df).copy()
+        out["rank"] = out.groupby("source", sort=False).cumcount() + 1
+        return out[
+            ["source", "doc_id", "quality_flags", "n_words", "rank"]
+        ].astype({"rank": np.int64})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(features, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort(["source", "rank"])
     )
