@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_wordpiece_count": T.doc_wordpiece_count,
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
+        # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
+        "doc_dup_span_stats": T.doc_dup_span_stats,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         # benchmark decontamination: eval grams broadcast, corpus probed
@@ -774,6 +776,37 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0::HUGEINT END)
                     % 2305843009213693951)::BIGINT AS kept_hash_mod
             FROM ranked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_dup_span_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       md5_number_lower(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+                WHERE len(t) >= 8
+            ),
+            c AS (SELECT h, count(*)::BIGINT AS n FROM w GROUP BY h),
+            s AS (
+                SELECT w.doc_id,
+                       count(*)::BIGINT AS n_windows,
+                       sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT
+                         AS n_dup_windows
+                FROM w JOIN c USING (h) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_windows, 0)::BIGINT AS n_windows,
+                   coalesce(s.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   ((coalesce(s.n_dup_windows, 0) * 1000)
+                    // greatest(coalesce(s.n_windows, 0), 1))::BIGINT
+                     AS dup_milli
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_repeated_ngrams": """
             WITH toks AS (

@@ -3164,3 +3164,102 @@ def doc_topk_per_source(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         .map_batches(final, batch_format="pandas", batch_size=None)
         .sort(["source", "rank"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span statistics (Lee et al. 2021 substring-dedup shape)
+
+
+def doc_dup_span_stats(
+    sf_dir: str, window: int = 8, n_buckets: int = 512
+) -> ray.data.Dataset:
+    """Per-doc duplicated-span statistics over OVERLAPPING token windows.
+
+    The measurement half of exact substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021): a
+    position is duplicated if its ``window``-token span occurs anywhere
+    else in the corpus (including elsewhere in the same doc). Emits
+    (doc_id, n_windows, n_dup_windows, dup_milli = share of duplicated
+    positions ×1000, integer) — the removal pass is a filter on these
+    positions; unlike ``doc_chunk_dedup`` (stride = chunk, keep-first
+    election) this is stride-1 and symmetric, the paper's definition.
+
+    Scale plan: only (doc_id, h) pairs cross the wire (O(corpus token
+    positions) fixed-width rows — the suffix-array equivalent without
+    the global sort); corpus-wide occurrence counts and the dup-mark
+    attach are ONE co-group on ``h % n_buckets``; the per-doc fold
+    shuffles integer partials on ``doc_id % n_buckets``.
+    """
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, hs, wins = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _tokens(text)
+            # sentinel row so short docs (< window tokens) still emit a
+            # zero-stats output row (win=0 → excluded from all counts)
+            doc_ids.append(doc_id)
+            hs.append(doc_id)
+            wins.append(0)
+            for i in range(len(toks) - window + 1):
+                doc_ids.append(doc_id)
+                hs.append(
+                    int.from_bytes(
+                        hashlib.md5(
+                            " ".join(toks[i : i + window]).encode()
+                        ).digest()[8:],
+                        "little",
+                    )
+                )
+                wins.append(1)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "h": pd.Series(hs, dtype=np.uint64),
+                "win": pd.Series(wins, dtype=np.int64),
+            }
+        )
+        df["_hb"] = (df["h"] % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # occurrence count over WINDOW rows only (sentinels sum 0)
+        tot = g.groupby("h")["win"].transform("sum").to_numpy()
+        win = g["win"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_windows": win.astype(np.int64),
+                "n_dup": ((tot >= 2) & (win == 1)).astype(np.int64),
+            }
+        )
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.drop(columns=["_db"]).groupby(
+            "doc_id", as_index=False, sort=True
+        ).sum()
+        nw = tot["n_windows"].to_numpy(dtype=np.int64)
+        nd = tot["n_dup"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": tot["doc_id"].astype(np.int64),
+                "n_windows": nw,
+                "n_dup_windows": nd,
+                "dup_milli": (nd * 1000) // np.maximum(nw, 1),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(fold, batch_format="pandas")
+        .sort("doc_id")
+    )

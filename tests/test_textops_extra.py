@@ -796,3 +796,32 @@ def test_doc_lm_surprise_edge_docs(ray_session, tmp_path):
     # surprise(b->a) = 1000//1 = 1000 -> total = 1333+1333+1000
     assert got.loc[3, "surprise_total"] == 1333 * 2 + 1000
     assert got.loc[3, "surprise_avg_milli"] == (1333 * 2 + 1000) // 3
+
+
+def test_doc_dup_span_stats_edges(ray_session, tmp_path):
+    """Short docs (< window tokens) emit zero rows; a shared 8-token
+    span is flagged in BOTH docs (symmetric, unlike chunk dedup)."""
+    import pyarrow.parquet as pq_w
+
+    from hinbox_ray.pipelines.textops import doc_dup_span_stats
+
+    span = "q w e r t y u i"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["tiny doc", f"start {span} end", f"{span} tail word x"],
+                type=pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_w.write_table(tbl, str(d / "documents.parquet"))
+    got = doc_dup_span_stats(str(d)).to_pandas().set_index("doc_id")
+    assert list(got.index) == [1, 2, 3]
+    assert got.loc[1].tolist() == [0, 0, 0]
+    # doc2: 10 tokens -> 3 windows, exactly one ('q w e r t y u i') shared
+    assert got.loc[2, "n_windows"] == 3
+    assert got.loc[2, "n_dup_windows"] == 1
+    assert got.loc[3, "n_dup_windows"] == 1
