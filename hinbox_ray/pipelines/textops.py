@@ -2912,6 +2912,34 @@ def doc_lm_surprise(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
         ).astype(np.int64)
         return out
 
+    # The per-doc fold and the short-doc join-back both key on
+    # doc_id % n_buckets — ONE shuffle, not two: union the zero-row doc
+    # side with the surprise partials and do the sum + fill in a single
+    # bucket kernel.
+    partials = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("_bb")
+        .map_groups(attach_bigram_count, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(attach_prefix_count, batch_format="pandas")
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_bigrams": pd.Series(np.zeros(len(df), dtype=np.int64)),
+                "surprise_total": pd.Series(
+                    np.zeros(len(df), dtype=np.int64)
+                ),
+            }
+        )
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.drop(columns=["_db"]).groupby(
             "doc_id", as_index=False, sort=True
@@ -2923,71 +2951,18 @@ def doc_lm_surprise(sf_dir: str, n_buckets: int = 512) -> ray.data.Dataset:
                 "doc_id": tot["doc_id"].astype(np.int64),
                 "n_bigrams": nb,
                 "surprise_total": st,
-                "surprise_avg_milli": np.where(nb > 0, st // np.maximum(nb, 1), 0),
-            }
-        )
-
-    scored = (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("_bb")
-        .map_groups(attach_bigram_count, batch_format="pandas")
-        .groupby("_ub")
-        .map_groups(attach_prefix_count, batch_format="pandas")
-        .groupby("_db")
-        .map_groups(fold, batch_format="pandas")
-    )
-
-    # left-join back to the corpus so <2-token docs emit zero rows too
-    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype(np.int64),
-                "n_bigrams": pd.Series(np.zeros(len(df), dtype=np.int64)),
-                "surprise_total": pd.Series(
-                    np.zeros(len(df), dtype=np.int64)
+                "surprise_avg_milli": np.where(
+                    nb > 0, st // np.maximum(nb, 1), 0
                 ),
-                "surprise_avg_milli": pd.Series(
-                    np.zeros(len(df), dtype=np.int64)
-                ),
-                "_src": pd.Series(np.zeros(len(df), dtype=np.int8)),
-            }
-        )
-        out["_jb"] = (
-            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
-        ).astype(np.int64)
-        return out
-
-    def tag_scored(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["_src"] = np.int8(1)
-        out["_jb"] = (
-            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
-        ).astype(np.int64)
-        return out
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        scored_rows = g[g["_src"] == 1]
-        docs_rows = g[g["_src"] == 0]
-        missing = docs_rows[
-            ~docs_rows["doc_id"].isin(scored_rows["doc_id"])
-        ]
-        out = pd.concat([scored_rows, missing], ignore_index=True)
-        return out.drop(columns=["_src", "_jb"]).astype(
-            {
-                "doc_id": np.int64,
-                "n_bigrams": np.int64,
-                "surprise_total": np.int64,
-                "surprise_avg_milli": np.int64,
             }
         )
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
     return (
         docs.map_batches(tag_docs, batch_format="pandas")
-        .union(scored.map_batches(tag_scored, batch_format="pandas"))
-        .groupby("_jb")
-        .map_groups(resolve, batch_format="pandas")
+        .union(partials)
+        .groupby("_db")
+        .map_groups(fold, batch_format="pandas")
         .sort("doc_id")
     )
 
