@@ -81,6 +81,51 @@ def _kg_entities_planted(sf_dir: str) -> Any:
     ).sort(["entity_id"])
 
 
+def _kg_degree_planted(sf_dir: str) -> Any:
+    """Per-entity degree stats over the planted flagship graph — the
+    KG-analytics consumer of the triple output (total triples and
+    mentioned_in edges per subject). Per-block combiner → one native
+    hash aggregate on the entity-vocabulary key; the oracle wraps the
+    planted ground-truth SQL derivation as a subquery, so the whole
+    pipeline → graph → analytics path is value-hash-checked."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_dataset
+
+    tri = build_kg(planted_pages_dataset(sf_dir)).triples
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "subj": batch["subj"].to_pylist(),
+                "is_ment": (
+                    np.array(batch["pred"].to_pylist()) == "mentioned_in"
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("subj", sort=True)
+        out = g.agg(
+            n_triples=("is_ment", "size"), n_mentions=("is_ment", "sum")
+        ).reset_index()
+        out["n_triples"] = out["n_triples"].astype(np.int64)
+        out["n_mentions"] = out["n_mentions"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        tri.map_batches(combine, batch_format="pyarrow")
+        .groupby("subj")
+        .aggregate(
+            Sum("n_triples", alias_name="n_triples"),
+            Sum("n_mentions", alias_name="n_mentions"),
+        )
+        .sort("subj")
+    )
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -141,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the md5-planted flagship runs: full KG machinery, oracle-backed
         "kg_triples_planted": _kg_triples_planted,
         "kg_entities_planted": _kg_entities_planted,
+        # KG analytics over the planted graph (degree stats, oracle
+        # wraps the ground-truth triple derivation as a subquery)
+        "kg_degree_planted": _kg_degree_planted,
         "pages_extract_text": _pages_extract_text,
         "kg_pair_verdicts": _kg_pair_verdicts,
         "kg_profiles": _kg_profiles,
@@ -468,6 +516,14 @@ def oracle_sql() -> dict[str, str]:
         # corpus-independent gazetteer fixture (sources/planted.py)
         "kg_triples_planted": triples_oracle_sql(),
         "kg_entities_planted": entities_oracle_sql(),
+        "kg_degree_planted": f"""
+            SELECT subj,
+                   count(*)::BIGINT AS n_triples,
+                   sum(CASE WHEN pred = 'mentioned_in' THEN 1
+                            ELSE 0 END)::BIGINT AS n_mentions
+            FROM ({triples_oracle_sql()})
+            GROUP BY subj ORDER BY subj
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)      AS sum_qty,
