@@ -2752,18 +2752,45 @@ def doc_embed_kmeans(
     """
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
+    # Tokenize + hash ONCE: each Lloyd iteration re-reads the vectors,
+    # so the md5 embedding pass (the expensive part) is materialized to
+    # fixed-width (doc_id, vec-bytes) rows up front instead of being
+    # recomputed iters+1 times over the raw text.
+    def vectorize(batch: pa.Table) -> pd.DataFrame:
+        ids, V = _km_vectors(batch, dim)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "v": pd.Series(
+                    [V[i].tobytes() for i in range(len(ids))], dtype=object
+                ),
+            }
+        )
+
+    vecs = docs.map_batches(vectorize, batch_format="pyarrow").materialize()
+
+    def _unpack(batch: pa.Table) -> tuple:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = batch["v"].to_pylist()
+        V = (
+            np.frombuffer(b"".join(raw), dtype=np.int64).reshape(-1, dim)
+            if raw
+            else np.zeros((0, dim), dtype=np.int64)
+        )
+        return ids, V
+
     # seeds: the k lowest-doc_id vectors (tiny driver pull, k rows)
-    seed_tbl = pa.Table.from_pandas(
-        docs.sort("doc_id").limit(k).to_pandas(), preserve_index=False
-    )
-    _, C = _km_vectors(seed_tbl, dim)
+    seed_df = vecs.sort("doc_id").limit(k).to_pandas()
+    C = np.frombuffer(
+        b"".join(seed_df["v"]), dtype=np.int64
+    ).reshape(-1, dim).copy()
 
     for _ in range(iters):
         cref = ray.put(C)
 
         def partial(batch: pa.Table) -> pd.DataFrame:
             Cb = ray.get(cref)
-            _, V = _km_vectors(batch, dim)
+            _, V = _unpack(batch)
             cl, _d = _km_assign(V, Cb)
             rows = []
             for c in range(len(Cb)):
@@ -2793,7 +2820,7 @@ def doc_embed_kmeans(
             return pd.DataFrame(out)
 
         folded = (
-            docs.map_batches(partial, batch_format="pyarrow")
+            vecs.map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(fold, batch_format="pandas", batch_size=None)
             .take_all()
@@ -2810,7 +2837,7 @@ def doc_embed_kmeans(
 
     def final_assign(batch: pa.Table) -> pd.DataFrame:
         Cb = ray.get(cref)
-        ids, V = _km_vectors(batch, dim)
+        ids, V = _unpack(batch)
         cl, d2 = _km_assign(V, Cb)
         return pd.DataFrame(
             {
@@ -2820,7 +2847,7 @@ def doc_embed_kmeans(
             }
         )
 
-    return docs.map_batches(final_assign, batch_format="pyarrow").sort(
+    return vecs.map_batches(final_assign, batch_format="pyarrow").sort(
         "doc_id"
     )
 
