@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": A.events_sessionize,
         # ordered view→click→purchase funnel (per-view EXISTS chain)
         "events_funnel": A.events_funnel,
+        # weekly cohort retention (per-user co-group + partial counts)
+        "events_retention": A.events_retention,
         "events_asof_last_error": A.events_asof_last_error,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
@@ -1185,6 +1187,28 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.85
             ORDER BY vec_a, vec_b
+        """,
+        "events_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       epoch_us(ts) // 604800000000::BIGINT AS wk
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, min(wk) AS cohort_week FROM w
+                GROUP BY user_id
+            ),
+            m AS (
+                SELECT DISTINCT c.cohort_week,
+                       w.wk - c.cohort_week AS week_offset,
+                       w.user_id
+                FROM w JOIN c USING (user_id)
+            )
+            SELECT cohort_week::BIGINT AS cohort_week,
+                   week_offset::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM m GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "events_funnel": """
             WITH u AS (SELECT DISTINCT user_id FROM events),

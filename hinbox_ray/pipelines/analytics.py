@@ -1472,3 +1472,60 @@ def events_funnel(sf_dir: str, window_s: int = 7 * 86400) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["ts", "user_id", "event_type"])
     return bucketed_map_groups(ds, "user_id", funnel).sort("user_id")
+
+
+def events_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort retention: users grouped by first-event week,
+    counted as retained in every later epoch-week they are active.
+
+    The cohort-analysis primitive: cohort_week = the user's first
+    event's epoch week (µs // 7·86400·10⁶ — integer, timezone-free),
+    week_offset = event week − cohort week; emits (cohort_week,
+    week_offset, n_users) with n_users = distinct users active at that
+    offset (offset 0 = cohort size).
+
+    Scale plan: one bucketed per-user co-group computes each user's
+    cohort and distinct offsets (user ids are corpus-scale — `% 512`
+    buckets); the per-(cohort, offset) distinct-user count then needs
+    only a Sum over the per-user 0/1 rows, pre-combined per block so
+    the final groupby sees (weeks × offsets)-scale partials, not
+    user-scale rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        weeks = us // WEEK_US
+        cohort = int(weeks.min())
+        offs = np.unique(weeks - cohort)
+        return pd.DataFrame(
+            {
+                "cohort_week": pd.Series(
+                    np.full(len(offs), cohort, dtype=np.int64)
+                ),
+                "week_offset": pd.Series(offs, dtype=np.int64),
+                "n_users": pd.Series(np.ones(len(offs), dtype=np.int64)),
+            }
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(
+            ["cohort_week", "week_offset"], as_index=False, sort=True
+        )["n_users"].sum()
+        return out.astype(np.int64)
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    marks = bucketed_map_groups(ds, "user_id", per_user)
+    return (
+        marks.map_batches(combine, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+    )
