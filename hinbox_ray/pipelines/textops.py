@@ -2755,7 +2755,11 @@ def doc_embed_kmeans(
     # Tokenize + hash ONCE: each Lloyd iteration re-reads the vectors,
     # so the md5 embedding pass (the expensive part) is materialized to
     # fixed-width (doc_id, vec-bytes) rows up front instead of being
-    # recomputed iters+1 times over the raw text.
+    # recomputed iters+1 times over the raw text. The vector table is
+    # ~10× smaller than the text (dim×8 B/doc) and lives in the object
+    # store (spillable), never on the driver; at extreme corpus scale
+    # swap the materialize for a write_parquet + re-read of the same
+    # rows.
     def vectorize(batch: pa.Table) -> pd.DataFrame:
         ids, V = _km_vectors(batch, dim)
         return pd.DataFrame(
