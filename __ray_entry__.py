@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": A.events_hll_users,
         # --- training-data toolbox (dedup / fingerprints / similarity)
         "doc_dedup_exact": T.doc_dedup_exact,
+        # incremental-ingest dedup (anti-join the increment vs existing)
+        "doc_incremental_dedup": T.doc_incremental_dedup,
         "doc_token_stats": T.doc_token_stats,
         "doc_lang_id": T.doc_lang_id,
         "doc_quality_score": T.doc_quality_score,
@@ -599,6 +601,35 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups
             FROM documents GROUP BY text_md5 ORDER BY text_md5
+        """,
+        "doc_incremental_dedup": """
+            WITH h AS (
+                SELECT doc_id, md5(text) AS text_md5,
+                       (doc_id % 5 = 0) AS is_new
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, md5(text), TRUE
+                FROM documents WHERE doc_id % 50 = 1
+                UNION ALL
+                SELECT doc_id + 20000000, md5(text || ' v2'), TRUE
+                FROM documents WHERE doc_id % 100 = 2
+                UNION ALL
+                SELECT doc_id + 21000000, md5(text || ' v2'), TRUE
+                FROM documents WHERE doc_id % 100 = 2
+            ),
+            ex AS (SELECT DISTINCT text_md5 FROM h WHERE NOT is_new),
+            new AS (
+                SELECT doc_id, text_md5,
+                       row_number() OVER (
+                           PARTITION BY text_md5 ORDER BY doc_id) AS rn
+                FROM h WHERE is_new
+            )
+            SELECT n.doc_id, n.text_md5,
+                   CASE WHEN e.text_md5 IS NOT NULL THEN 'dup_existing'
+                        WHEN n.rn = 1 THEN 'admitted'
+                        ELSE 'dup_incoming' END AS status
+            FROM new n LEFT JOIN ex e USING (text_md5)
+            ORDER BY n.doc_id
         """,
         "doc_token_stats": f"""
             WITH toks AS (

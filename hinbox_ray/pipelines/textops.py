@@ -3269,3 +3269,115 @@ def doc_dup_span_stats(
         .map_groups(fold, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup (daily-crawl increment vs existing corpus)
+
+
+def doc_incremental_dedup(
+    sf_dir: str, new_mod: int = 5, n_buckets: int = 512
+) -> ray.data.Dataset:
+    """Dedup an incoming increment against the existing corpus.
+
+    The daily-ingest shape: the corpus is split into EXISTING docs and
+    a NEW batch (here deterministically: ``doc_id % new_mod == 0`` is
+    the increment — in production the two sides are separate parquet
+    roots and the split predicate disappears). A new doc is admitted
+    iff its exact content hash appears nowhere in the existing corpus
+    AND it is the first copy within the increment (min doc_id wins).
+    Emits one row per increment doc: (doc_id, text_md5, status ∈
+    {'admitted', 'dup_existing', 'dup_incoming'} — dup_existing when
+    the existing corpus already has the content, dup_incoming when an
+    earlier increment doc does).
+
+    The sf fixtures carry no exact duplicates across the split, so the
+    increment is augmented with planted copies (the embedding_neardup_lsh
+    UNION-ALL trick) to make every status reachable: each existing doc
+    with ``doc_id % 50 == 1`` gets an exact copy at ``+10_000_000``
+    (→ dup_existing) and each with ``doc_id % 100 == 2`` gets TWO
+    copies of a modified text at ``+20_000_000`` / ``+21_000_000``
+    (→ one admitted, one dup_incoming).
+
+    Scale plan: a hash ANTI-JOIN as one bucketed co-group — both sides
+    reduce to (md5, min doc_id / presence) per block first, so only
+    per-block distinct hashes cross the ``md5 % n_buckets`` shuffle;
+    the kernel resolves presence + first-copy in one vectorized pass.
+    No text leaves the map stage.
+    """
+
+    def sides(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        rows_id, rows_md5, rows_new = [], [], []
+        for d, t in zip(ids.tolist(), texts):
+            rows_id.append(d)
+            rows_md5.append(hashlib.md5(t.encode()).hexdigest())
+            rows_new.append(1 if d % new_mod == 0 else 0)
+            if d % 50 == 1:  # planted exact copy of an existing doc
+                rows_id.append(d + 10_000_000)
+                rows_md5.append(rows_md5[-1])
+                rows_new.append(1)
+            if d % 100 == 2:  # planted within-increment duplicate pair
+                m2 = hashlib.md5((t + " v2").encode()).hexdigest()
+                for off in (20_000_000, 21_000_000):
+                    rows_id.append(d + off)
+                    rows_md5.append(m2)
+                    rows_new.append(1)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows_id, dtype=np.int64),
+                "text_md5": pd.Series(rows_md5, dtype=object),
+                "is_new": pd.Series(rows_new, dtype=np.int8),
+            }
+        )
+        # per-block pre-reduce: existing side needs only distinct
+        # hashes; the new side keeps (hash, min doc_id) plus every new
+        # doc row (each increment doc must appear in the output)
+        ex = df[df["is_new"] == 0][["text_md5"]].drop_duplicates()
+        ex = ex.assign(doc_id=np.int64(-1), is_new=np.int8(0))
+        new = df[df["is_new"] == 1]
+        out = pd.concat(
+            [new[["doc_id", "text_md5", "is_new"]], ex], ignore_index=True
+        )
+        h = np.frombuffer(
+            b"".join(bytes.fromhex(m[:16]) for m in out["text_md5"]),
+            dtype=np.uint64,
+        )
+        out["_hb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        existing = set(g[g["is_new"] == 0]["text_md5"])
+        new = g[g["is_new"] == 1]
+        if new.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "text_md5": pd.Series([], dtype=object),
+                    "status": pd.Series([], dtype=object),
+                }
+            )
+        new = new.sort_values(["text_md5", "doc_id"], kind="mergesort")
+        first = ~new["text_md5"].duplicated()
+        in_existing = new["text_md5"].isin(existing).to_numpy()
+        status = np.where(
+            in_existing,
+            "dup_existing",
+            np.where(first.to_numpy(), "admitted", "dup_incoming"),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": new["doc_id"].to_numpy(dtype=np.int64),
+                "text_md5": new["text_md5"].to_numpy(),
+                "status": pd.Series(status, dtype=object),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(sides, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(resolve, batch_format="pandas")
+        .sort("doc_id")
+    )
