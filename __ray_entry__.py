@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed integer-Lloyd k-means (broadcast centroids,
         # map-side combine, k×dim driver state)
         "doc_embed_kmeans": T.doc_embed_kmeans,
+        # cluster labeling: top TF-IDF term per k-means cluster
+        "doc_cluster_top_terms": T.doc_cluster_top_terms,
         # corpus-trained bigram-LM surprise (CCNet perplexity shape)
         "doc_lm_surprise": T.doc_lm_surprise,
         # temperature-based source mixing (sqrt-share downsampling)
@@ -944,6 +946,43 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "doc_embed_kmeans": _kmeans_oracle_sql(),
+        "doc_cluster_top_terms": f"""
+            WITH asg AS (
+                SELECT doc_id, cluster FROM ({_kmeans_oracle_sql()})
+            ),
+            toks2 AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tf2 AS (
+                SELECT doc_id, md5_number_lower(x) AS h,
+                       count(*)::BIGINT AS tf
+                FROM toks2, unnest(t) AS u(x)
+                GROUP BY doc_id, h
+            ),
+            df2 AS (SELECT h, count(*)::BIGINT AS df FROM tf2 GROUP BY h),
+            n2 AS (SELECT count(*)::BIGINT AS n FROM documents),
+            scored AS (
+                SELECT a.cluster, t.h, d.df,
+                       sum(t.tf)::BIGINT AS cluster_tf
+                FROM tf2 t JOIN asg a USING (doc_id) JOIN df2 d USING (h)
+                GROUP BY a.cluster, t.h, d.df
+            ),
+            r AS (
+                SELECT cluster, h, cluster_tf, df,
+                       (cluster_tf * ((n2.n * 1000) // df))::BIGINT AS score,
+                       row_number() OVER (
+                           PARTITION BY cluster
+                           ORDER BY cluster_tf * ((n2.n * 1000) // df) DESC,
+                                    h ASC) AS rn
+                FROM scored CROSS JOIN n2
+            )
+            SELECT cluster, h AS term_h, cluster_tf, df, score
+            FROM r WHERE rn = 1 ORDER BY cluster
+        """,
         "doc_topk_per_source": """
             WITH f AS (
                 SELECT doc_id, source,

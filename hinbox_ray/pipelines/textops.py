@@ -3381,3 +3381,168 @@ def doc_incremental_dedup(
         .map_groups(resolve, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster labeling: top TF-IDF term per k-means cluster
+
+
+def doc_cluster_top_terms(
+    sf_dir: str, n_buckets: int = 512
+) -> ray.data.Dataset:
+    """Label each k-means cluster with its highest-TF-IDF token.
+
+    The corpus-exploration composition: ``doc_embed_kmeans`` assigns
+    clusters, per-(doc, token) tf rows attach their cluster and the
+    corpus df, and each cluster's label is the token maximizing
+    cluster_tf · idf_milli (idf_milli = (N·1000)//df, the tfidf op's
+    integer idf; ties → smaller token hash). Emits (cluster, term_h,
+    cluster_tf, df, score).
+
+    Scale plan: cluster attach is one co-group on ``doc_id %
+    n_buckets`` (assignment rows and tf rows co-locate; no broadcast —
+    the assignment is corpus-scale); df count, per-(cluster, term)
+    totals AND the per-cluster local argmax all happen inside ONE
+    co-group on ``term_h % n_buckets`` (every row of a term co-locates,
+    so its (cluster, term) totals are complete in-bucket), leaving ≤
+    buckets × k candidate rows for a single-task final argmax.
+    """
+    import pyarrow.parquet as pq_meta
+
+    n_total = pq_meta.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+
+    asg = doc_embed_kmeans(sf_dir)
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_ids, hs, tfs = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts: dict = {}
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                doc_ids.append(doc_id)
+                hs.append(
+                    int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[8:], "little"
+                    )
+                )
+                tfs.append(c)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "term_h": pd.Series(hs, dtype=np.uint64),
+                "tf": pd.Series(tfs, dtype=np.int64),
+                "cluster": pd.Series(
+                    np.full(len(doc_ids), -1, dtype=np.int64)
+                ),
+            }
+        )
+        df["_db"] = (
+            df["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def tag_asg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "term_h": pd.Series(
+                    np.zeros(len(df), dtype=np.uint64), dtype=np.uint64
+                ),
+                "tf": pd.Series(np.zeros(len(df), dtype=np.int64)),
+                "cluster": df["cluster"].astype(np.int64),
+            }
+        )
+        out["_db"] = (
+            out["doc_id"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def attach_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        amap = g[g["cluster"] >= 0][["doc_id", "cluster"]].drop_duplicates(
+            "doc_id"
+        )
+        rows = g[g["cluster"] < 0]
+        if rows.empty:
+            return pd.DataFrame(
+                {
+                    "term_h": pd.Series([], dtype=np.uint64),
+                    "tf": pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64),
+                    "_tb": pd.Series([], dtype=np.int64),
+                }
+            )
+        idx = pd.Index(amap["doc_id"].to_numpy())
+        pos = idx.get_indexer(rows["doc_id"].to_numpy())
+        cl = amap["cluster"].to_numpy()[np.maximum(pos, 0)]
+        out = pd.DataFrame(
+            {
+                "term_h": rows["term_h"].to_numpy(dtype=np.uint64),
+                "tf": rows["tf"].to_numpy(dtype=np.int64),
+                "cluster": cl.astype(np.int64),
+            }
+        )
+        out["_tb"] = (out["term_h"] % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_term_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # df per term = rows per term (rows unique per (doc, term)),
+        # complete in-bucket; then (cluster, term) totals and the
+        # per-cluster LOCAL argmax
+        dfc = g.groupby("term_h")["term_h"].transform("size").to_numpy()
+        g = g.assign(df=dfc.astype(np.int64))
+        tot = g.groupby(
+            ["cluster", "term_h", "df"], as_index=False, sort=False
+        )["tf"].sum()
+        idf_milli = (np.int64(n_total) * 1000) // tot["df"].to_numpy()
+        tot["score"] = tot["tf"].to_numpy() * idf_milli
+        tot = tot.sort_values(
+            ["cluster", "score", "term_h"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tot[~tot["cluster"].duplicated()]
+        return pd.DataFrame(
+            {
+                "cluster": top["cluster"].to_numpy(dtype=np.int64),
+                "term_h": top["term_h"].to_numpy(dtype=np.uint64),
+                "cluster_tf": top["tf"].to_numpy(dtype=np.int64),
+                "df": top["df"].to_numpy(dtype=np.int64),
+                "score": top["score"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype=np.int64),
+                    "term_h": pd.Series([], dtype=np.uint64),
+                    "cluster_tf": pd.Series([], dtype=np.int64),
+                    "df": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(
+            ["cluster", "score", "term_h"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df[~df["cluster"].duplicated()].reset_index(drop=True)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(tf_rows, batch_format="pyarrow")
+        .union(asg.map_batches(tag_asg, batch_format="pandas"))
+        .groupby("_db")
+        .map_groups(attach_cluster, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(per_term_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort("cluster")
+    )
