@@ -825,3 +825,30 @@ def test_doc_dup_span_stats_edges(ray_session, tmp_path):
     assert got.loc[2, "n_windows"] == 3
     assert got.loc[2, "n_dup_windows"] == 1
     assert got.loc[3, "n_dup_windows"] == 1
+
+
+def test_doc_decontaminate_empty_eval_set(ray_session, tmp_path):
+    """A corpus where no doc_id hits the eval modulus → empty broadcast
+    set, zero hits, nothing contaminated (the empty-ray.put edge path).
+    (doc_id 0 matches EVERY modulus, so the corpus must not contain it.)"""
+    import pyarrow.parquet as pq_w
+
+    from hinbox_ray.pipelines.textops import doc_decontaminate
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                ["one two three four five six seven eight nine"] * 3,
+                type=pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_w.write_table(tbl, str(d / "documents.parquet"))
+    got = doc_decontaminate(str(d), eval_mod=7).to_pandas()
+    assert (got["is_eval"] == 0).all()
+    assert (got["n_hits"] == 0).all()
+    assert (got["contaminated"] == 0).all()
+    assert (got["n_grams"] > 0).all()
