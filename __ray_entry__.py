@@ -126,6 +126,85 @@ def _kg_degree_planted(sf_dir: str) -> Any:
     )
 
 
+def _kg_comention_planted(sf_dir: str) -> Any:
+    """Entity co-mention graph over the planted flagship output: an
+    edge (ea, eb, n_docs) for every entity pair mentioned in the same
+    document. Per-doc pair explode is bounded (entities per doc is a
+    small constant by corpus construction — gazetteer sentences carry
+    ≤2 surfaces each, docs carry ≤4 sentences), the per-url co-group
+    and the per-pair count both shuffle on 512-bucket keys. The oracle
+    self-joins the ground-truth mentioned_in derivation."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_dataset
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    tri = build_kg(planted_pages_dataset(sf_dir)).triples
+
+    def only_mentions(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["pred"] == "mentioned_in"]
+        return pd.DataFrame(
+            {
+                "subj": m["subj"].to_numpy(),
+                "url": m["obj"].to_numpy(),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ents = sorted(set(g["subj"]))
+        ea, eb = [], []
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                ea.append(ents[i])
+                eb.append(ents[j])
+        return pd.DataFrame(
+            {
+                "ea": pd.Series(ea, dtype=object),
+                "eb": pd.Series(eb, dtype=object),
+                "n_docs": pd.Series(
+                    np.ones(len(ea), dtype=np.int64), dtype=np.int64
+                ),
+            }
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ea", "eb"], as_index=False, sort=True)[
+            "n_docs"
+        ].sum()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = pd.Series(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"{a}|{b}".encode()).digest()[8:], "little"
+                )
+                % 512
+                for a, b in zip(df["ea"], df["eb"])
+            ],
+            dtype=np.int64,
+        )
+        return df
+
+    mentions = tri.map_batches(only_mentions, batch_format="pandas")
+    per_url = bucketed_map_groups(mentions, "url", pairs)
+    return (
+        per_url.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(
+            lambda g: count_bucket(g.drop(columns=["_pb"])),
+            batch_format="pandas",
+        )
+        .sort(["ea", "eb"])
+    )
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -186,9 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the md5-planted flagship runs: full KG machinery, oracle-backed
         "kg_triples_planted": _kg_triples_planted,
         "kg_entities_planted": _kg_entities_planted,
-        # KG analytics over the planted graph (degree stats, oracle
-        # wraps the ground-truth triple derivation as a subquery)
+        # KG analytics over the planted graph (degree stats + co-mention
+        # graph; oracles wrap the ground-truth triple derivation)
         "kg_degree_planted": _kg_degree_planted,
+        "kg_comention_planted": _kg_comention_planted,
         "pages_extract_text": _pages_extract_text,
         "kg_pair_verdicts": _kg_pair_verdicts,
         "kg_profiles": _kg_profiles,
@@ -522,6 +602,16 @@ def oracle_sql() -> dict[str, str]:
         # corpus-independent gazetteer fixture (sources/planted.py)
         "kg_triples_planted": triples_oracle_sql(),
         "kg_entities_planted": entities_oracle_sql(),
+        "kg_comention_planted": f"""
+            WITH m AS (
+                SELECT subj, obj AS url FROM ({triples_oracle_sql()})
+                WHERE pred = 'mentioned_in'
+            )
+            SELECT a.subj AS ea, b.subj AS eb,
+                   count(*)::BIGINT AS n_docs
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb ORDER BY ea, eb
+        """,
         "kg_degree_planted": f"""
             SELECT subj,
                    count(*)::BIGINT AS n_triples,
