@@ -431,6 +431,284 @@ def triples_oracle_sql() -> str:
     """
 
 
+# ──────────────────────────────────────────────
+# Round 5: planted oracles for profiles / grounding / pair verdicts
+# (A4–A7 value-hash-checked the way A1/J2/D3 already are)
+# ──────────────────────────────────────────────
+
+_MAX_VERSIONS = 8  # stages/profiles.entity_profiles default
+_GRAY_BAND = 0.05  # reference: src/constants.py:29-33
+
+
+def _rawsf_values() -> str:
+    """(idx, stext) VALUES rows: the raw plantable sentence fragment per
+    planted index (events carry the inline date) — lets DuckDB rebuild
+    every doc's exact extracted text for the grounding substring check."""
+    return ",\n        ".join(
+        f"({idx}, {_sql_quote(_surface_text(e))})"
+        for idx, e in enumerate(PLANTED)
+    )
+
+
+def _profiles_cte() -> str:
+    """CTEs (appended after ``_plants_cte()``) deriving one profile row
+    per planted entity: the deterministic profile kernel
+    (stages/profiles.profile_kernel — reference contract
+    src/engine/profiles.py:85-102) is closed-form over the plant plan,
+    so DuckDB rebuilds the cited text, source list and version ladder
+    arithmetic from the documents table alone."""
+    return f"""
+    firstn AS (
+        SELECT cluster, doc_id FROM (
+            SELECT cluster, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster ORDER BY doc_id
+                   ) AS rn
+            FROM (SELECT DISTINCT cluster, doc_id FROM pm)
+        ) WHERE rn <= {_MAX_VERSIONS}
+    ),
+    prof AS (
+        SELECT c.cluster, c.eid, c.etype, c.canon,
+               CASE c.etype WHEN 'people' THEN 'person'
+                    WHEN 'organizations' THEN 'organization'
+                    WHEN 'locations' THEN 'location'
+                    WHEN 'events' THEN 'event' ELSE c.etype END AS kind,
+               COUNT(*) AS n,
+               string_agg(c.canon || ' ^[doc://' ||
+                          lpad(CAST(f.doc_id AS VARCHAR), 8, '0') || ']',
+                          ' ' ORDER BY f.doc_id) AS cited,
+               string_agg('doc://' || lpad(CAST(f.doc_id AS VARCHAR), 8, '0'),
+                          chr(31) ORDER BY f.doc_id) AS sources
+        FROM firstn f JOIN clus2 c USING (cluster)
+        GROUP BY c.cluster, c.eid, c.etype, c.canon
+    ),
+    prof2 AS (
+        SELECT *, cited || ' — ' || kind || ' profile.' AS profile_text
+        FROM prof
+    )"""
+
+
+def profiles_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_profiles_planted``: the versioned-profile
+    stage's scalar projection (text, confidence, source list, version
+    counter, reflection counter, text hash) per canonical entity."""
+    return f"""
+    WITH {_plants_cte()}, {_profiles_cte()}
+    SELECT eid AS entity_id, etype AS entity_type, canon AS name,
+           profile_text,
+           CAST(LEAST(95, 50 + 5 * n) AS BIGINT) AS confidence_e2,
+           CAST(n AS BIGINT) AS n_sources,
+           CAST(n AS BIGINT) AS current_version,
+           sources,
+           sha256(profile_text) AS profile_hash,
+           CAST(n AS BIGINT) AS reflection_attempts
+    FROM prof2 ORDER BY entity_id
+    """
+
+
+def grounding_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_grounding_planted``: rebuilds each cited
+    doc's extracted text from the plant plan and replays the
+    substring-support verifier + grounding-report arithmetic
+    (functions/citations.grounding_summary — reference
+    src/utils/quality_controls.py:718-748). verified < total happens
+    exactly when a cited doc planted only a non-canonical surface of
+    the cluster, so the counts are corpus-derived, not constant."""
+    return f"""
+    WITH {_plants_cte()}, {_profiles_cte()},
+    rawsf(idx, stext) AS (VALUES
+        {_rawsf_values()}
+    ),
+    doctext AS (
+        SELECT p.doc_id,
+               string_agg(r.stext || ' appeared in the filing.', ' '
+                          ORDER BY p.slot) AS txt
+        FROM plants p JOIN rawsf r USING (idx)
+        WHERE p.doc_id IN (SELECT DISTINCT doc_id FROM firstn)
+        GROUP BY p.doc_id
+    ),
+    supports AS (
+        SELECT f.cluster,
+               CASE WHEN position(lower(c.canon) IN lower(d.txt)) > 0
+                    THEN 1 ELSE 0 END AS ok
+        FROM firstn f
+        JOIN clus2 c USING (cluster)
+        JOIN doctext d USING (doc_id)
+    ),
+    rep AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(ok) AS BIGINT) AS verified
+        FROM supports GROUP BY cluster
+    )
+    SELECT p.eid AS entity_id,
+           sha256(p.profile_text) AS profile_hash,
+           r.total AS total_citations,
+           r.verified,
+           CAST(r.total - r.verified AS BIGINT) AS unverified,
+           CAST(0 AS BIGINT) AS missing_source,
+           CAST(FLOOR(CAST(r.verified AS DOUBLE) / r.total * 10000 + 0.5)
+                AS BIGINT) AS grounding_score_e4,
+           (CAST(r.verified AS DOUBLE) / r.total >= 0.5) AS passed,
+           CASE WHEN r.verified = r.total THEN ''
+                WHEN CAST(r.verified AS DOUBLE) / r.total >= 0.5
+                     THEN 'unsupported_claims'
+                ELSE 'unsupported_claims,low_grounding_score' END AS flags
+    FROM rep r JOIN prof2 p USING (cluster)
+    ORDER BY entity_id
+    """
+
+
+def _pair_verdict(cfg, etype: str, name_a: str, name_b: str,
+                  sd_a: str, sd_b: str) -> str:
+    """Reimplementation of the match-check → dispute ladder over a name
+    pair (reference rules: src/engine/match_checker.py:201-322; gray
+    band src/constants.py:29-33; low-quality guard
+    src/engine/mergers.py:834-847) — deliberately written here, not
+    imported from stages/verify, so the fixture derivation stays
+    independent of the pipeline under test (same pattern as
+    ``_walk_winner``). Alias context omitted: on the planted vocabulary
+    the alias bridge never flips a verdict (asserted in
+    ``verdict_fixture`` against the engine predicate at both alias
+    extremes; the bridge is monotone, so equality at the extremes
+    covers every reachable alias subset)."""
+    from ..functions.matching import cosine_names
+    from ..functions.names import (
+        is_low_quality_name,
+        lexical_ratio,
+        names_likely_same,
+        normalize_for_match,
+    )
+
+    na, nb = normalize_for_match(name_a), normalize_for_match(name_b)
+    lowq = is_low_quality_name(name_a) or is_low_quality_name(name_b)
+    if etype == "events" and sd_a and sd_b and sd_a != sd_b:
+        match = False
+    elif na == nb:
+        match = True
+    elif lowq:
+        match = False
+    elif names_likely_same(
+        name_a, name_b, entity_type=etype,
+        equivalence_groups=cfg.groups_for(etype),
+    ):
+        match = True
+    else:
+        match = (
+            lexical_ratio(name_a, name_b) >= cfg.blocking.lexical_cutoff
+            and cosine_names(name_a, name_b, cfg.embedding_dim)
+            >= cfg.threshold(etype)
+        )
+    if match:
+        return "MATCH"
+    if lowq:
+        return "SKIP"
+    cos = cosine_names(name_a, name_b, cfg.embedding_dim)
+    if abs(cos - cfg.threshold(etype)) <= _GRAY_BAND:
+        return "DEFER"
+    return "SKIP"
+
+
+@lru_cache(maxsize=1)
+def verdict_fixture() -> Tuple[Tuple[str, str, str, str, str, int, int, str], ...]:
+    """(etype, name_u, sd_u, name_v, sd_v, idx_u, idx_v, verdict) for
+    every within-type node pair over the planted vocabulary, oriented
+    by (name, start_date). Corpus-independent by construction; the
+    corpus-dependent part (which nodes exist) is a presence join the
+    oracle SQL derives from the plants table.
+
+    Two invariants asserted here (fixture bugs fail loudly, and
+    tests/test_planted.py re-asserts them):
+    - the reimplemented ladder's MATCH set equals the engine predicate
+      ``mentions_match`` under BOTH empty and maximal (full
+      same-cluster) alias contexts — alias monotonicity then covers
+      every alias set the collapse can actually produce;
+    - no cross-cluster org/loc pair is ``names_likely_same`` (so the
+      within-doc collapse can never leak an alias across clusters).
+    """
+    from ..config import DomainConfig
+    from ..functions.matching import mentions_match
+    from ..functions.names import names_likely_same
+
+    cfg = DomainConfig()
+    nodes = []
+    for idx, e in enumerate(PLANTED):
+        nodes.append(
+            (
+                e.entity_type,
+                normalize_display(e.surface),
+                str(e.attrs.get("start_date", ""))
+                if e.entity_type == "events"
+                else "",
+                idx,
+                e.cluster,
+            )
+        )
+    members: Dict[str, List[str]] = {}
+    for et, name, sd, idx, cluster in nodes:
+        members.setdefault(cluster, []).append(name)
+
+    by_type: Dict[str, List] = {}
+    for n in nodes:
+        by_type.setdefault(n[0], []).append(n)
+
+    out = []
+    for et in sorted(by_type):
+        ns = sorted(by_type[et], key=lambda n: (n[1], n[2]))
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                (_, nu, su, iu, cu) = ns[i]
+                (_, nv, sv, iv, cv) = ns[j]
+                verdict = _pair_verdict(cfg, et, nu, nv, su, sv)
+                empty = mentions_match(
+                    et, nu, nv, start_date_a=su, start_date_b=sv, cfg=cfg
+                )
+                full = mentions_match(
+                    et, nu, nv, start_date_a=su, start_date_b=sv,
+                    aliases_a=[m for m in members[cu] if m != nu],
+                    aliases_b=[m for m in members[cv] if m != nv],
+                    cfg=cfg,
+                )
+                assert empty == full == (verdict == "MATCH"), (
+                    f"alias context flips verdict for ({nu!r}, {nv!r}): "
+                    f"empty={empty} full={full} fixture={verdict}"
+                )
+                if (
+                    et in ("organizations", "locations")
+                    and cu != cv
+                ):
+                    assert not names_likely_same(
+                        nu, nv, entity_type=et,
+                        equivalence_groups=cfg.groups_for(et),
+                    ), f"cross-cluster collapse possible: {nu!r} ~ {nv!r}"
+                out.append((et, nu, su, nv, sv, iu, iv, verdict))
+    return tuple(out)
+
+
+def verdicts_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_pair_verdicts_planted``: the fixture verdict
+    table joined against node presence derived from the plant plan —
+    the corpus decides WHICH pairs exist, the fixture (asserted against
+    the engine predicate, see ``verdict_fixture``) decides the label."""
+    rows = ",\n        ".join(
+        f"({_sql_quote(et)}, {_sql_quote(nu)}, {_sql_quote(su)}, "
+        f"{_sql_quote(nv)}, {_sql_quote(sv)}, {iu}, {iv}, {_sql_quote(v)})"
+        for (et, nu, su, nv, sv, iu, iv, v) in verdict_fixture()
+    )
+    return f"""
+    WITH {_plants_cte()},
+    present AS (SELECT DISTINCT idx FROM plants),
+    vf(entity_type, name_u, start_date_u, name_v, start_date_v,
+       idx_u, idx_v, verdict) AS (VALUES
+        {rows}
+    )
+    SELECT entity_type, name_u, name_v, start_date_u, start_date_v, verdict
+    FROM vf
+    WHERE idx_u IN (SELECT idx FROM present)
+      AND idx_v IN (SELECT idx FROM present)
+    ORDER BY entity_type, name_u, start_date_u, name_v, start_date_v
+    """
+
+
 def entities_oracle_sql() -> str:
     """DuckDB SQL for ``kg_entities_planted``: (entity_id, entity_type,
     name, n_mentions, first_url), n_mentions net of the within-doc

@@ -162,8 +162,13 @@ def _article_lists(mentions_ds, node_map_df: pd.DataFrame, max_versions: int):
             }
         )
         # per-batch top-K per entity: the combiner that keeps hot-entity
-        # article lists from flooding the shuffle
+        # article lists from flooding the shuffle. Dedup (entity, url)
+        # FIRST — two nodes of one entity co-mentioned in the same docs
+        # (e.g. transliteration variants) otherwise burn the top-K
+        # budget on duplicate urls and push real articles out (caught
+        # by the round-5 kg_profiles_planted value-hash oracle).
         out = out.sort_values(["entity_id", "warc_ts", "url"], kind="mergesort")
+        out = out.drop_duplicates(["entity_id", "url"])
         return out.groupby("entity_id", sort=False).head(max_versions)
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
