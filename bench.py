@@ -116,6 +116,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     corpus = ensure_corpus(sf_dir, KG_REPEAT)
 
+    import pyarrow.parquet as _pq
+
+    n_pages_total = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows * KG_REPEAT
+    # above this page count the materialized mention boundary pins
+    # enough plasma to force spill (round-4 BASELINE decomposition at
+    # 20M pages) — switch to the zstd parquet checkpoint instead
+    ckpt_pages = int(os.environ.get("GRAFT_KG_CHECKPOINT_PAGES", "12000000"))
+
     def kg_from_corpus(_sd):
         # prune at the read: the fused extractor re-derives text from
         # html, so the corpus' reference text column (kept for the
@@ -134,7 +144,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # ~2-5 KB synthetic docs — at 100 TB with bigger docs keep
         # batch × doc-size within the actor heap (the library default
         # stays small for that reason).
-        return build_kg(pages, batch_size=KG_BATCH).triples
+        return build_kg(
+            pages,
+            batch_size=KG_BATCH,
+            checkpoint_mentions=n_pages_total >= ckpt_pages,
+            checkpoint_dir="/tmp/graft_kg_ckpt",
+        ).triples
 
     qs = dict(entrymod.queries())
     qs["kg_triples"] = kg_from_corpus

