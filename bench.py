@@ -240,7 +240,15 @@ def run_min_of_n(sf_dir: str, num_cpus: int) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes (cluster-size
     proxy per BASELINE.md): efficiency = (tp_hi / tp_lo) / (hi / lo)."""
-    lo, hi = 8, 32
+    # GRAFT_SCALING_CPUS="lo,hi" picks the parallelism pair — 4,16
+    # gives an N→4N reading where neither leg saturates the single
+    # box's memory system (extraction throughput flat-lines at ~16
+    # actors, see BASELINE.md round-5 decomposition), which is the
+    # honest multi-node proxy at corpus sizes where 32 cpus is
+    # membw-bound rather than cpu-bound.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
     # generate the shared corpus up front at full parallelism so neither
     # timed leg pays for it
     gen = subprocess.run(
@@ -288,7 +296,7 @@ def run_scaling(sf_dir: str) -> dict:
     tp = {n: 1.0 / results[n]["value"] for n in (lo, hi)}
     eff = (tp[hi] / tp[lo]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (proxy: num_cpus 8 vs 32, fresh sessions)",
+        "metric": "scaling efficiency (proxy: num_cpus %d vs %d, fresh sessions)" % (lo, hi),
         "value": round(eff, 4),
         "unit": "efficiency",
         "low": {"num_cpus": lo, "sec": results[lo]["value"], "queries": results[lo]["queries"]},
