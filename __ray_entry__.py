@@ -205,6 +205,163 @@ def _kg_comention_planted(sf_dir: str) -> Any:
     )
 
 
+def _kg_pagerank_planted(sf_dir: str, iters: int = 3) -> Any:
+    """Integer PageRank over the planted co-mention graph — the
+    iterative-graph-algorithm consumer of the KG output (the shape of
+    entity-salience ranking over a web-scale entity graph).
+
+    Exactness contract: ranks are integers scaled by 10^12, damping is
+    850/1000, every division is a floor — so the DuckDB oracle unrolls
+    the same ``iters`` rounds with ``//`` and matches hash-exactly (the
+    k-means-oracle trick applied to a graph recurrence). r0 = S // N;
+    r_{t+1}(v) = (150·(S // N)) // 1000 + (850·Σ_{u~v} r_t(u)//deg(u))
+    // 1000. Every comention node has ≥1 neighbor (it appears in an
+    edge), so the contribution join is total — no dangling-mass term.
+
+    Scale plan: each iteration is two bucketed co-groups (scatter
+    rank//deg along edges on src-hash, gather sums on dst-hash) — the
+    canonical edge-cut Pregel step expressed in Ray Data; edges never
+    materialize driver-side, and driver state is two scalars (N, the
+    teleport constant). T iterations = 2T shuffles, all on the same
+    512-bucket key space.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    SCALE = 10**12
+    com = _kg_comention_planted(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [df["ea"], df["eb"]], ignore_index=True
+                ).astype(object),
+                "dst": pd.concat(
+                    [df["eb"], df["ea"]], ignore_index=True
+                ).astype(object),
+            }
+        )
+
+    edges = com.map_batches(both_dirs, batch_format="pandas")
+
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False, sort=True).size()
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "deg": g["size"].astype(np.int64),
+            }
+        )
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([int(g["deg"].sum())], dtype=np.int64),
+            }
+        )
+
+    deg = bucketed_map_groups(
+        edges.map_batches(local_deg, batch_format="pandas"), "key", sum_deg
+    )
+    n_nodes = deg.count()  # node-vocabulary-scale driver scalar
+    r0 = SCALE // n_nodes
+    tele = (150 * r0) // 1000
+
+    def seed_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["rank"] = np.full(len(df), r0, dtype=np.int64)
+        return out
+
+    ranks = deg.map_batches(seed_rank, batch_format="pandas")
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "dst": pd.Series([""] * len(df), dtype=object),
+                "deg": df["deg"].astype(np.int64),
+                "rank": df["rank"].astype(np.int64),
+                "kind": pd.Series(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "dst": df["dst"].astype(object),
+                "deg": pd.Series(z),
+                "rank": pd.Series(z),
+                "kind": pd.Series(z),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        src_row = g[g["kind"] == 1]
+        es = g[g["kind"] == 0]
+        contrib = int(src_row["rank"].iloc[0]) // int(src_row["deg"].iloc[0])
+        return pd.DataFrame(
+            {
+                "key": es["dst"].to_numpy(),
+                "contrib": pd.Series(
+                    np.full(len(es), contrib, dtype=np.int64)
+                ),
+                "kind": pd.Series(np.zeros(len(es), dtype=np.int64)),
+            }
+        )
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "contrib": df["deg"].astype(np.int64),
+                "kind": pd.Series(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g.loc[g["kind"] == 0, "contrib"].sum())
+        d = int(g.loc[g["kind"] == 1, "contrib"].iloc[0])
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([d], dtype=np.int64),
+                "rank": pd.Series(
+                    [tele + (850 * s) // 1000], dtype=np.int64
+                ),
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas")
+    tagged_deg = deg.map_batches(tag_deg, batch_format="pandas")
+    for _ in range(iters):
+        contribs = bucketed_map_groups(
+            ranks.map_batches(tag_rank, batch_format="pandas").union(
+                tagged_edges
+            ),
+            "key",
+            scatter,
+        )
+        ranks = bucketed_map_groups(
+            contribs.union(tagged_deg), "key", gather
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["key"].astype(object),
+                "pagerank_e12": df["rank"].astype(np.int64),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pandas").sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -293,7 +450,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": A.events_funnel,
         # weekly cohort retention (per-user co-group + partial counts)
         "events_retention": A.events_retention,
-        # ── 17-30: green in r3, outside r4's sweep window ─────────────
+        # ── 17-19: new in round 5, never swept ────────────────────────
+        # constant-memory Bloom variant of the decontamination pass
+        # (oracle re-derives the filter bit-for-bit in SQL)
+        "doc_bloom_decontaminate": T.doc_bloom_decontaminate,
+        # term → (df, total_tf, sorted postings), term-hash sharded
+        "doc_inverted_index": T.doc_inverted_index,
+        # count-min-sketch heavy hitters (sketch re-derived in SQL)
+        "doc_term_cms": T.doc_term_cms,
+        # integer PageRank over the planted co-mention graph (oracle
+        # unrolls the same floor-arithmetic rounds, k-means style)
+        "kg_pagerank_planted": _kg_pagerank_planted,
+        # deterministic uniform / per-source stratified samples
+        "doc_reservoir_sample": T.doc_reservoir_sample,
+        "doc_stratified_sample": T.doc_stratified_sample,
+        # ── 23-33: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -309,13 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_domain_stats": T.corpus_domain_stats,
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_sessionize": A.events_sessionize,
-        "events_asof_last_error": A.events_asof_last_error,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        "orders_top3_per_customer": A.orders_top3_per_customer,
-        "supplier_count_by_nation": A.supplier_count_by_nation,
-        "part_filter_like": A.part_filter_like,
-        # ── 31-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 34-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -349,12 +516,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         # benchmark decontamination: eval grams broadcast, corpus probed
         "doc_decontaminate": T.doc_decontaminate,
-        # headline dedup ops: kept in-window as the flagship toolbox row
-        "doc_dedup_exact": T.doc_dedup_exact,
-        "doc_minhash_neardup": T.doc_minhash_neardup,
         # ── 51+: rotated out (green ≥2 consecutive rounds, or rows-only
         #    entries superseded by their planted hash-checked variants;
         #    all still CI-checked every run) ───────────────────────────
+        # headline dedup ops, green r3+r4 (also timed every bench run)
+        "doc_dedup_exact": T.doc_dedup_exact,
+        "doc_minhash_neardup": T.doc_minhash_neardup,
+        # relational LIKE filter, green r1-r3
+        "part_filter_like": A.part_filter_like,
+        # green r1-r3 (as-of join / per-group top-k / broadcast join)
+        "events_asof_last_error": A.events_asof_last_error,
+        "orders_top3_per_customer": A.orders_top3_per_customer,
+        "supplier_count_by_nation": A.supplier_count_by_nation,
         "kg_triples_client": _kg_triples_client,
         "kg_entities": _kg_entities,
         "pages_extract_text": _pages_extract_text,
@@ -711,6 +884,52 @@ def oracle_sql() -> dict[str, str]:
         verdicts_oracle_sql,
     )
 
+    # Integer PageRank unrolled round by round — the k-means-oracle
+    # trick applied to a graph recurrence; same floor arithmetic as
+    # _kg_pagerank_planted (scale 10^12, damping 850/1000).
+    _pr_prev = "r0"
+    _pr_rounds = []
+    for _t in range(1, 4):
+        _pr_rounds.append(f"""
+            s{_t} AS (
+                SELECT e.dst AS node, sum(r.rank // r.deg)::BIGINT AS s
+                FROM e JOIN {_pr_prev} r ON e.src = r.node GROUP BY e.dst
+            ),
+            r{_t} AS (
+                SELECT d.node, d.deg,
+                       ((150 * (1000000000000 // n.n)) // 1000
+                        + (850 * s{_t}.s) // 1000)::BIGINT AS rank
+                FROM deg d, n, s{_t} WHERE s{_t}.node = d.node
+            )""")
+        _pr_prev = f"r{_t}"
+    _PAGERANK_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({triples_oracle_sql()})
+            WHERE pred = 'mentioned_in'
+        ),
+        com AS (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb
+        ),
+        e AS (
+            SELECT ea AS src, eb AS dst FROM com
+            UNION ALL
+            SELECT eb AS src, ea AS dst FROM com
+        ),
+        deg AS (
+            SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src
+        ),
+        n AS (SELECT count(*)::BIGINT AS n FROM deg),
+        r0 AS (
+            SELECT node, deg, (1000000000000 // n.n)::BIGINT AS rank
+            FROM deg, n
+        ),
+        {','.join(_pr_rounds)}
+        SELECT node AS subj, rank AS pagerank_e12
+        FROM {_pr_prev} ORDER BY subj
+    """
+
     _KNN_EXACT_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -749,6 +968,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
             GROUP BY ea, eb ORDER BY ea, eb
+        """,
+        "kg_pagerank_planted": _PAGERANK_SQL,
+        "doc_reservoir_sample": """
+            SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
+            FROM documents ORDER BY smp_h, doc_id LIMIT 100
+        """,
+        "doc_stratified_sample": """
+            SELECT source, doc_id, smp_h FROM (
+                SELECT source, doc_id,
+                       md5_number_lower(doc_id::VARCHAR) AS smp_h,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5_number_lower(doc_id::VARCHAR),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20 ORDER BY source, smp_h
         """,
         "kg_degree_planted": f"""
             SELECT subj,
@@ -1384,6 +1620,114 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END)::BIGINT AS contaminated
             FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
             ORDER BY tk.doc_id
+        """,
+        "doc_bloom_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, i,
+                       md5_number_lower(array_to_string(t[i:i+7], ' ')) AS h
+                FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+                WHERE len(t) >= 8
+            ),
+            -- Kirsch–Mitzenmacher double hashing: bit_j =
+            -- (h mod 2^32 + j*(2*(h >> 32)+1)) mod 2^18, j in 0..3
+            gram_bits AS (
+                SELECT doc_id, i,
+                       (CAST(h % 4294967296 AS BIGINT)
+                        + r.j * (CAST(h // 4294967296 AS BIGINT) * 2 + 1))
+                       % 262144 AS bit
+                FROM grams CROSS JOIN (SELECT unnest(range(4)) AS j) r
+            ),
+            eval_bits AS (
+                SELECT DISTINCT bit FROM gram_bits WHERE doc_id % 97 = 0
+            ),
+            gram_hit AS (
+                SELECT gb.doc_id, gb.i
+                FROM gram_bits gb LEFT JOIN eval_bits e USING (bit)
+                GROUP BY gb.doc_id, gb.i
+                HAVING count(*) = count(e.bit)
+            ),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_hits
+                FROM gram_hit GROUP BY doc_id
+            )
+            SELECT tk.doc_id,
+                   (CASE WHEN tk.doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS is_eval,
+                   greatest(len(tk.t) - 7, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_bloom_hits,
+                   (CASE WHEN tk.doc_id % 97 <> 0
+                              AND coalesce(h.n_hits, 0) > 0
+                         THEN 1 ELSE 0 END)::BIGINT AS flagged
+            FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
+            ORDER BY tk.doc_id
+        """,
+        "doc_inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, term
+            )
+            SELECT term,
+                   md5_number_lower(term) AS term_h,
+                   count(*)::BIGINT AS df,
+                   sum(tf)::BIGINT AS total_tf,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                     AS postings
+            FROM tf GROUP BY term ORDER BY term_h
+        """,
+        "doc_term_cms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            cnts AS (
+                SELECT term, count(*)::BIGINT AS c,
+                       CAST(md5_number_lower(term) % 4294967296 AS BIGINT)
+                         AS h1,
+                       CAST(md5_number_lower(term) // 4294967296 AS BIGINT)
+                         * 2 + 1 AS h2
+                FROM tok GROUP BY term
+            ),
+            cells AS (
+                SELECT r.j, (h1 + r.j * h2) % 1024 AS col,
+                       sum(c)::BIGINT AS cnt
+                FROM cnts CROSS JOIN (SELECT unnest(range(4)) AS j) r
+                GROUP BY r.j, col
+            ),
+            est AS (
+                SELECT cn.term, min(cl.cnt)::BIGINT AS est_cnt
+                FROM cnts cn
+                CROSS JOIN (SELECT unnest(range(4)) AS j) r
+                JOIN cells cl
+                  ON cl.j = r.j
+                 AND cl.col = (cn.h1 + r.j * cn.h2) % 1024
+                GROUP BY cn.term
+            ),
+            total AS (SELECT sum(c)::BIGINT AS s FROM cnts)
+            SELECT e.term,
+                   md5_number_lower(e.term) AS term_h,
+                   e.est_cnt
+            FROM est e, total t
+            WHERE e.est_cnt >= t.s // 200
+            ORDER BY term_h
         """,
         "doc_pii_scrub": """
             WITH p AS (

@@ -3570,3 +3570,482 @@ def doc_cluster_top_terms(
         .map_batches(final, batch_format="pandas", batch_size=None)
         .sort("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-memory variant of doc_decontaminate)
+
+
+def _ngram_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 md5 hash per n-token window (= DuckDB md5_number_lower of
+    the space-joined window), shared by the Bloom decontamination op."""
+    toks = _tokens(text)
+    m = len(toks) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + n]).encode()).digest()[8:],
+                "little",
+            )
+            for i in range(m)
+        ),
+        dtype=np.uint64,
+        count=m,
+    )
+
+
+def doc_bloom_decontaminate(
+    sf_dir: str,
+    n: int = 8,
+    eval_mod: int = 97,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """``doc_decontaminate`` with the eval-gram set compressed into a
+    Bloom filter — the constant-memory broadcast a 100-TB corpus wants.
+
+    The exact-set variant broadcasts every distinct eval gram hash
+    (8 bytes each: ~10^8 benchmark grams = 800 MB in every worker);
+    this op packs them into an ``m_bits``-bit Bloom filter (k=4
+    Kirsch–Mitzenmacher double hashes derived from the same md5 gram
+    hash: bit_j = (h mod 2^32 + j·(2·(h >> 32)+1)) mod m_bits), so the
+    broadcast is m_bits/8 bytes REGARDLESS of eval-set size and the
+    probe is 4 bit tests per gram instead of a binary search. The
+    price is one-sided false positives — flagged docs are a strict
+    superset of the exact op's, never a miss — which is the right
+    trade for decontamination (over-drop, never under-drop).
+
+    Emits (doc_id, is_eval, n_grams, n_bloom_hits, flagged); flagged
+    is 1 for non-eval docs with >= 1 gram whose k bits are all set.
+    Deterministic end to end (md5 + integer ops), so the DuckDB oracle
+    re-derives the filter bit-for-bit.
+
+    Scale plan: eval side reduces to distinct BIT POSITIONS per block
+    (<= m_bits rows, not eval-gram rows) before the driver union; the
+    packed filter ships once via ``ray.put``; the corpus probe is a
+    stateless ``map_batches`` — zero corpus-scale shuffle, same as the
+    exact op.
+    """
+    mask = np.uint64(0xFFFFFFFF)
+    ks = np.arange(k, dtype=np.uint64)
+
+    def _bit_positions(hs: np.ndarray) -> np.ndarray:
+        """(len(hs), k) uint64 bit indices into the filter."""
+        h1 = hs & mask
+        h2 = (hs >> np.uint64(32)) * np.uint64(2) + np.uint64(1)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+    def eval_bits(batch: pa.Table) -> pd.DataFrame:
+        parts = [
+            _ngram_hashes(text, n)
+            for doc_id, text in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+            if doc_id % eval_mod == 0
+        ]
+        if not parts:
+            return pd.DataFrame({"bit": pd.Series([], dtype=np.int64)})
+        hs = np.concatenate(parts)
+        pos = np.unique(_bit_positions(hs).ravel()).astype(np.int64)
+        return pd.DataFrame({"bit": pd.Series(pos, dtype=np.int64)})
+
+    bit_blocks = [
+        b["bit"].to_numpy()
+        for b in _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(eval_bits, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    bits = (
+        np.unique(np.concatenate(bit_blocks))
+        if bit_blocks
+        else np.empty(0, np.int64)
+    )
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(bits):
+        np.bitwise_or.at(
+            bloom, bits >> 3, (1 << (bits & 7)).astype(np.uint8)
+        )
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        bl = ray.get(bloom_ref)  # plasma-local, zero-copy
+        doc_ids, n_grams, n_hits, is_eval = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hs = _ngram_hashes(text, n)
+            doc_ids.append(doc_id)
+            n_grams.append(len(hs))
+            if len(hs):
+                idx = _bit_positions(hs)
+                hit = (
+                    (bl[(idx >> np.uint64(3)).astype(np.int64)]
+                     >> (idx & np.uint64(7)).astype(np.uint8))
+                    & 1
+                ).all(axis=1)
+                n_hits.append(int(np.count_nonzero(hit)))
+            else:
+                n_hits.append(0)
+            is_eval.append(1 if doc_id % eval_mod == 0 else 0)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "is_eval": pd.Series(is_eval, dtype=np.int64),
+                "n_grams": pd.Series(n_grams, dtype=np.int64),
+                "n_bloom_hits": pd.Series(n_hits, dtype=np.int64),
+            }
+        )
+        df["flagged"] = (
+            (df["is_eval"] == 0) & (df["n_bloom_hits"] > 0)
+        ).astype(np.int64)
+        return df
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(probe, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (term -> df, total tf, sorted postings)
+
+
+def doc_inverted_index(sf_dir: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """Build a corpus inverted index: per term, document frequency,
+    total term frequency and the comma-joined sorted doc-id postings
+    list — the search/retrieval-side primitive of a corpus engine.
+
+    Emits (term, term_h = md5_u64(term), df, total_tf, postings).
+
+    Scale plan: the output of an index build is inherently
+    term-partitioned and of corpus-token magnitude, so the ONE shuffle
+    here moves per-(doc, term) tf rows onto ``term_h % n_buckets``
+    buckets where the whole per-term aggregation (df count, tf sum,
+    postings concat) happens in a single co-located kernel; at 100 TB
+    each bucket writes its own parquet shard (hive-partitioned by
+    bucket) so the index lands sharded-by-term-hash with no second
+    pass. Postings are ordered by doc_id inside the bucket kernel,
+    making the output byte-deterministic.
+    """
+
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_ids: list = []
+        terms: list = []
+        tfs: list = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            counts: dict = {}
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                doc_ids.append(doc_id)
+                terms.append(t)
+                tfs.append(c)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "term": pd.Series(terms, dtype=object),
+                "tf": pd.Series(tfs, dtype=np.int64),
+            }
+        )
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                for t in terms
+            ),
+            dtype=np.uint64,
+            count=len(terms),
+        )
+        df["term_h"] = pd.Series(hs, dtype=np.uint64)
+        df["_tb"] = (hs % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "term_h": pd.Series([], dtype=np.uint64),
+                    "df": pd.Series([], dtype=np.int64),
+                    "total_tf": pd.Series([], dtype=np.int64),
+                    "postings": pd.Series([], dtype=object),
+                }
+            )
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=True).agg(
+            term_h=("term_h", "first"),
+            df=("doc_id", "size"),
+            total_tf=("tf", "sum"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        out = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "term": out["term"].astype(object),
+                "term_h": out["term_h"].astype(np.uint64),
+                "df": out["df"].astype(np.int64),
+                "total_tf": out["total_tf"].astype(np.int64),
+                "postings": out["postings"].astype(object),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("term_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+
+
+def doc_term_cms(
+    sf_dir: str, d: int = 4, w: int = 1024, thresh_div: int = 200
+) -> ray.data.Dataset:
+    """Corpus heavy-hitter terms via a count-min sketch.
+
+    Pass 1 builds a d x w CMS of corpus term frequencies (row j, col =
+    (h mod 2^32 + j·(2·(h >> 32)+1)) mod w with h = md5_u64(term) —
+    the same double-hash family as the Bloom op): each block emits its
+    LOCAL sketch's nonzero cells and the driver sums them —
+    sketch-scale (d·w ints) driver state, the same contract as the
+    k-means centroids. Pass 2 broadcasts the sketch and probes every
+    distinct term: est(term) = min_j cms[j][col_j(term)], keeping
+    terms with est >= total_tokens // thresh_div. CMS estimates
+    one-sided-overcount, so the kept set is a superset of the true
+    heavy hitters — never a miss. Additive merges make the sketch
+    order-free, hence exactly reproducible in SQL.
+
+    Emits (term, term_h, est_cnt) sorted by term_h.
+
+    Scale plan: pass 1 ships only nonzero sketch cells (<= d·w per
+    block) to the driver — no corpus-scale shuffle; pass 2's distinct
+    terms are vocabulary-scale on a ``term_h % n_buckets`` co-group.
+    The sketch answers the "what are the boilerplate mega-terms"
+    question in O(d·w) memory where an exact count would need a
+    vocabulary-scale table per worker.
+    """
+    mask = np.uint64(0xFFFFFFFF)
+    js = np.arange(d, dtype=np.uint64)
+    n_buckets = 256
+
+    def _cols(hs: np.ndarray) -> np.ndarray:
+        """(len(hs), d) int64 flattened cell indices (j*w + col_j)."""
+        h1 = hs & mask
+        h2 = (hs >> np.uint64(32)) * np.uint64(2) + np.uint64(1)
+        cols = (h1[:, None] + js[None, :] * h2[:, None]) % np.uint64(w)
+        return (js[None, :] * np.uint64(w) + cols).astype(np.int64)
+
+    def _term_hashes(terms: list) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                for t in terms
+            ),
+            dtype=np.uint64,
+            count=len(terms),
+        )
+
+    def partial_cells(batch: pa.Table) -> pd.DataFrame:
+        counts: dict = {}
+        for text in batch["text"].to_pylist():
+            for t in _tokens(text):
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pd.DataFrame(
+                {
+                    "idx": pd.Series([], dtype=np.int64),
+                    "cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        terms = list(counts.keys())
+        cs = np.fromiter(counts.values(), dtype=np.int64, count=len(terms))
+        idx = _cols(_term_hashes(terms))
+        local = np.zeros(d * w, dtype=np.int64)
+        np.add.at(local, idx.ravel(), np.repeat(cs, d))
+        nz = np.nonzero(local)[0]
+        return pd.DataFrame(
+            {
+                "idx": pd.Series(nz, dtype=np.int64),
+                "cnt": pd.Series(local[nz], dtype=np.int64),
+            }
+        )
+
+    cms = np.zeros(d * w, dtype=np.int64)
+    for b in (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_cells, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ):
+        np.add.at(cms, b["idx"].to_numpy(), b["cnt"].to_numpy())
+    total = int(cms[:w].sum())  # every token increments one cell per row
+    threshold = total // thresh_div
+    cms_ref = ray.put(cms)
+
+    def distinct_terms(batch: pa.Table) -> pd.DataFrame:
+        seen: set = set()
+        for text in batch["text"].to_pylist():
+            seen.update(_tokens(text))
+        terms = list(seen)
+        hs = _term_hashes(terms)
+        return pd.DataFrame(
+            {
+                "term": pd.Series(terms, dtype=object),
+                "term_h": pd.Series(hs, dtype=np.uint64),
+                "_tb": pd.Series(
+                    (hs % np.uint64(n_buckets)).astype(np.int64),
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(cms_ref)  # plasma-local, zero-copy
+        g = g.drop_duplicates("term")
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "term_h": pd.Series([], dtype=np.uint64),
+                    "est_cnt": pd.Series([], dtype=np.int64),
+                }
+            )
+        idx = _cols(g["term_h"].to_numpy())
+        est = sk[idx].min(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "term": g["term"].to_numpy()[keep],
+                "term_h": pd.Series(
+                    g["term_h"].to_numpy()[keep], dtype=np.uint64
+                ),
+                "est_cnt": pd.Series(est[keep], dtype=np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(distinct_terms, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(probe_bucket, batch_format="pandas")
+        .sort("term_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform / stratified corpus sampling
+
+
+def _sample_hash(doc_ids: np.ndarray) -> np.ndarray:
+    """uint64 md5 sampling key per doc (= DuckDB
+    ``md5_number_lower(doc_id::VARCHAR)``) — a fixed uniform permutation
+    of the corpus, independent of row order and partitioning."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[8:], "little"
+            )
+            for d in doc_ids
+        ),
+        dtype=np.uint64,
+        count=len(doc_ids),
+    )
+
+
+def doc_reservoir_sample(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Uniform k-sample of the corpus: the k docs with the smallest
+    md5(doc_id) — the deterministic equivalent of a reservoir sample
+    (hash order IS a uniform random permutation, but reproducible, so
+    a re-run, a resumed run and the oracle all pick the same docs).
+
+    Emits (doc_id, smp_h) sorted by (smp_h, doc_id).
+
+    Scale plan: the distributed-sampling shape — every block pre-thins
+    to its own k smallest keys (combiner), the final reduce sees only
+    blocks × k candidate rows in one task. No corpus-scale shuffle, no
+    driver-side corpus state; adding nodes only adds combiners.
+    """
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = _sample_hash(ids)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "smp_h": pd.Series(hs, dtype=np.uint64),
+            }
+        )
+        return df.sort_values(["smp_h", "doc_id"], kind="mergesort").head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "smp_h": pd.Series([], dtype=np.uint64),
+                }
+            )
+        return df.sort_values(["smp_h", "doc_id"], kind="mergesort").head(k)
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort("smp_h")
+    )
+
+
+def doc_stratified_sample(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Per-source uniform k-sample: the k docs with the smallest
+    md5(doc_id) WITHIN each source — the stratified carve every
+    held-out eval set wants (equal representation per domain, fully
+    deterministic and resume-stable).
+
+    Emits (source, doc_id, smp_h) sorted by (source, smp_h).
+
+    Scale plan: same combiner shape as the per-domain quality cap —
+    groups are corpus-scale (a hot domain is petabytes), so a
+    ``groupby(source).map_groups`` is out; each block pre-thins to its
+    per-source k smallest keys and the final single task sees only
+    blocks × sources × k rows.
+    """
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": pd.Series(batch["source"].to_pylist(), dtype=object),
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "smp_h": pd.Series(_sample_hash(ids), dtype=np.uint64),
+            }
+        )
+        df = df.sort_values(["source", "smp_h", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "smp_h": pd.Series([], dtype=np.uint64),
+                }
+            )
+        df = df.sort_values(["source", "smp_h", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(k).reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort(["source", "smp_h"])
+    )
