@@ -362,6 +362,120 @@ def _kg_pagerank_planted(sf_dir: str, iters: int = 3) -> Any:
     return ranks.map_batches(finalize, batch_format="pandas").sort("subj")
 
 
+def _kg_components_planted(sf_dir: str, min_docs: int = 8) -> Any:
+    """Connected components of the strong co-mention graph (edges seen
+    in >= ``min_docs`` documents) — the community-detection consumer of
+    the KG output, driving the SAME star-contraction CC stage the
+    entity-resolution path uses (stages/cc.py), but value-checked here
+    against an independent recursive-CTE transitive closure in DuckDB.
+    At the planted corpus's threshold the graph splits into 4
+    non-trivial communities, so the check is not vacuous.
+
+    Emits (subj, component_rep) — component_rep is the
+    lexicographically smallest entity name in the component, computed
+    inside a per-component co-group kernel (never collected
+    driver-side).
+
+    Scale plan: entity names map to int64 ids (md5 >> 1) for the CC
+    stage; the name attach and the rep election are two bucketed
+    co-groups (node-hash, then component-hash) — component maps are
+    corpus-scale in the worst case and never materialize on the
+    driver (the CC stage's early-driver-finish hybrid handles the
+    small case automatically).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cc import connected_components
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"] >= min_docs][["ea", "eb"]]
+
+    strong_edges = com.map_batches(strong, batch_format="pandas")
+
+    def _name_id(names) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(s.encode()).digest()[8:], "little"
+                )
+                >> 1
+                for s in names
+            ),
+            dtype=np.int64,
+            count=len(names),
+        )
+
+    def to_int_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": pd.Series(_name_id(df["ea"].tolist()), dtype=np.int64),
+                "v": pd.Series(_name_id(df["eb"].tolist()), dtype=np.int64),
+            }
+        )
+
+    comps = connected_components(
+        strong_edges.map_batches(to_int_edges, batch_format="pandas")
+    )
+
+    # node-name table: every endpoint of a strong edge, deduped later
+    # inside the node-hash co-group
+    def node_names(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.concat([df["ea"], df["eb"]], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "node_id": pd.Series(_name_id(names.tolist()), dtype=np.int64),
+                "name": names.astype(object),
+                "component": pd.Series(
+                    np.full(len(names), -1, dtype=np.int64)
+                ),
+            }
+        )
+
+    def tag_comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node_id": df["node_id"].astype(np.int64),
+                "name": pd.Series([""] * len(df), dtype=object),
+                "component": df["component"].astype(np.int64),
+            }
+        )
+
+    def attach_name(g: pd.DataFrame) -> pd.DataFrame:
+        comp = int(g.loc[g["component"] >= 0, "component"].iloc[0])
+        name = g.loc[g["component"] < 0, "name"].iloc[0]
+        return pd.DataFrame(
+            {
+                "component": pd.Series([comp], dtype=np.int64),
+                "name": pd.Series([name], dtype=object),
+            }
+        )
+
+    named = bucketed_map_groups(
+        strong_edges.map_batches(node_names, batch_format="pandas").union(
+            comps.map_batches(tag_comp, batch_format="pandas")
+        ),
+        "node_id",
+        attach_name,
+    )
+
+    def elect_rep(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g["name"].min()
+        return pd.DataFrame(
+            {
+                "subj": g["name"].astype(object),
+                "component_rep": pd.Series([rep] * len(g), dtype=object),
+            }
+        )
+
+    return bucketed_map_groups(named, "component", elect_rep).sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -464,7 +578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic uniform / per-source stratified samples
         "doc_reservoir_sample": T.doc_reservoir_sample,
         "doc_stratified_sample": T.doc_stratified_sample,
-        # ── 23-33: green in r3, outside r4's sweep window ─────────────
+        # CC over the strong co-mention graph (recursive-CTE oracle)
+        "kg_components_planted": _kg_components_planted,
+        # ── 24-33: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -479,7 +595,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": T.doc_split_assign,
         "corpus_domain_stats": T.corpus_domain_stats,
         "doc_pack_sequences": T.doc_pack_sequences,
-        "events_sessionize": A.events_sessionize,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
         # ── 34-50: green once (r4) — stay until 2 consecutive greens ──
@@ -528,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": A.events_asof_last_error,
         "orders_top3_per_customer": A.orders_top3_per_customer,
         "supplier_count_by_nation": A.supplier_count_by_nation,
+        # green r2+r3 (per-user session windows)
+        "events_sessionize": A.events_sessionize,
         "kg_triples_client": _kg_triples_client,
         "kg_entities": _kg_entities,
         "pages_extract_text": _pages_extract_text,
@@ -970,6 +1087,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ea, eb ORDER BY ea, eb
         """,
         "kg_pagerank_planted": _PAGERANK_SQL,
+        "kg_components_planted": f"""
+            WITH RECURSIVE m AS (
+                SELECT subj, obj AS url FROM ({triples_oracle_sql()})
+                WHERE pred = 'mentioned_in'
+            ),
+            com AS (
+                SELECT a.subj AS ea, b.subj AS eb
+                FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+                GROUP BY ea, eb HAVING count(*) >= 8
+            ),
+            e AS (
+                SELECT ea AS u, eb AS v FROM com
+                UNION ALL SELECT eb, ea FROM com
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+            )
+            SELECT u AS subj, min(r) AS component_rep
+            FROM reach GROUP BY u ORDER BY subj
+        """,
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100

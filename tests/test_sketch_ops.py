@@ -97,3 +97,18 @@ def test_pagerank_mass_and_order(ray_session):
     assert 0 < total <= 10**12
     assert total >= 10**12 - 10**12 // 10  # within 10% of full mass
     assert pr["pagerank_e12"].min() > 0
+
+
+def test_components_split_is_nontrivial(ray_session):
+    """The strong-comention threshold must actually split the planted
+    graph (4 communities / 22 nodes), and every representative is a
+    member of its own component."""
+    import __ray_entry__ as E
+
+    got = E.queries()["kg_components_planted"](SF).to_pandas()
+    assert len(got) == 22
+    assert got["component_rep"].nunique() == 4
+    assert set(got["component_rep"]) <= set(got["subj"])
+    # the rep really is the lexicographic min of its members
+    for rep, grp in got.groupby("component_rep"):
+        assert grp["subj"].min() == rep
