@@ -476,6 +476,249 @@ def _kg_components_planted(sf_dir: str, min_docs: int = 8) -> Any:
     return bucketed_map_groups(named, "component", elect_rep).sort("subj")
 
 
+def _kg_triangles_planted(sf_dir: str, min_docs: int = 4) -> Any:
+    """Per-node triangle counts of the strong co-mention graph (edges
+    seen in >= ``min_docs`` documents) — the clustering-coefficient /
+    community-cohesion primitive over the KG output, implemented as the
+    canonical degree-ordered wedge-check (Cohen's MapReduce triangle
+    algorithm / Suri & Vassilvitskii, WWW'11): orient every edge from
+    its lower-(degree, name) endpoint to the higher one, generate
+    out-neighbor wedges per source, and close each wedge against the
+    undirected edge set. At ``min_docs=4`` the planted graph keeps 166
+    triangles over a sparse subgraph, so the check is non-vacuous and
+    most wedges do NOT close (the closure join is actually exercised).
+
+    Emits (subj, n_triangles) for every node of the strong graph,
+    zeros included, sorted by subj. The DuckDB oracle recomputes the
+    triangle set via an independent three-way self-join.
+
+    Scale plan: degree orientation bounds per-source out-degree by
+    O(sqrt(m)) on skewed graphs, so the wedge explosion is O(m^1.5)
+    total — the standard bound; degrees, the two degree-attaches, the
+    wedge generation, the closure check and the final count are all
+    bucketed co-groups (node-hash or pair-hash keys), edges never
+    materialize driver-side, and driver state is zero.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        # reset_index: downstream kernels build frames from these
+        # columns; a filtered (non-contiguous) index would misalign
+        # against fresh RangeIndex series
+        return (
+            df[df["n_docs"] >= min_docs][["ea", "eb"]]
+            .reset_index(drop=True)
+        )
+
+    edges = com.map_batches(strong, batch_format="pandas")
+
+    # degree per node: per-block combine -> bucketed sum
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.concat([df["ea"], df["eb"]], ignore_index=True)
+        g = (
+            names.to_frame("key")
+            .groupby("key", as_index=False, sort=True)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "deg": g["size"].astype(np.int64),
+            }
+        )
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([int(g["deg"].sum())], dtype=np.int64),
+            }
+        )
+
+    deg = bucketed_map_groups(
+        edges.map_batches(local_deg, batch_format="pandas"), "key", sum_deg
+    )
+
+    # attach each endpoint's degree: tagged union + node-hash co-group
+    # (deg rows carry deg >= 1; edge rows are tagged deg = -1)
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].to_numpy(),
+                "other": pd.Series([""] * len(df), dtype=object),
+                "deg": df["deg"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def edge_keyed(df: pd.DataFrame, key_col: str, other_col: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df[key_col].to_numpy(),
+                "other": df[other_col].to_numpy(),
+                "deg": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        d = int(g.loc[g["deg"] >= 0, "deg"].iloc[0])
+        es = g[g["deg"] < 0]
+        return pd.DataFrame(
+            {
+                "key": es["key"].to_numpy(),
+                "other": es["other"].to_numpy(),
+                "key_deg": pd.Series(np.full(len(es), d, dtype=np.int64)),
+            }
+        )
+
+    with_da = bucketed_map_groups(
+        edges.map_batches(
+            lambda df: edge_keyed(df, "ea", "eb"), batch_format="pandas"
+        ).union(deg.map_batches(tag_deg, batch_format="pandas")),
+        "key",
+        attach,
+    )
+
+    def flip(df: pd.DataFrame) -> pd.DataFrame:
+        # re-key on the other endpoint, carrying deg_a along
+        return pd.DataFrame(
+            {
+                "key": df["other"].to_numpy(),
+                "other": df["key"].to_numpy(),
+                "deg": (-df["key_deg"].to_numpy() - 1).astype(np.int64),  # < 0 tag
+            }
+        )
+
+    def attach_b(g: pd.DataFrame) -> pd.DataFrame:
+        d = int(g.loc[g["deg"] >= 0, "deg"].iloc[0])
+        es = g[g["deg"] < 0]
+        return pd.DataFrame(
+            {
+                "eb": es["key"].to_numpy(),
+                "ea": es["other"].to_numpy(),
+                "deg_a": (-es["deg"] - 1).to_numpy(dtype=np.int64),
+                "deg_b": pd.Series(np.full(len(es), d, dtype=np.int64)),
+            }
+        )
+
+    both = bucketed_map_groups(
+        with_da.map_batches(flip, batch_format="pandas").union(
+            deg.map_batches(tag_deg, batch_format="pandas")
+        ),
+        "key",
+        attach_b,
+    )
+
+    # orient: src = lower-(deg, name) endpoint (ea < eb already)
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a_first = (df["deg_a"] <= df["deg_b"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "src": pd.Series(
+                    np.where(a_first, df["ea"], df["eb"]), dtype=object
+                ),
+                "dst": pd.Series(
+                    np.where(a_first, df["eb"], df["ea"]), dtype=object
+                ),
+            }
+        )
+
+    oriented = both.map_batches(orient, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = sorted(g["dst"])
+        lo, hi = [], []
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                lo.append(nb[i])
+                hi.append(nb[j])
+        return pd.DataFrame(
+            {
+                "lo": pd.Series(lo, dtype=object),
+                "hi": pd.Series(hi, dtype=object),
+                "wit": pd.Series(
+                    [g["src"].iloc[0]] * len(lo), dtype=object
+                ),
+                "kind": pd.Series(np.zeros(len(lo), dtype=np.int64)),
+            }
+        )
+
+    wed = bucketed_map_groups(oriented, "src", wedges)
+
+    # closure: wedge (lo, hi) is a triangle iff the undirected edge
+    # (lo, hi) exists — both are in ea<eb string order by construction
+    def tag_edge_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lo": df["ea"].to_numpy(),
+                "hi": df["eb"].to_numpy(),
+                "wit": pd.Series([""] * len(df), dtype=object),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["kind"] == 0]
+        if not (g["kind"] == 1).any() or not len(w):
+            return pd.DataFrame(
+                {
+                    "subj": pd.Series([], dtype=object),
+                    "n_triangles": pd.Series([], dtype=np.int64),
+                }
+            )
+        nodes = pd.concat([w["lo"], w["hi"], w["wit"]], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "subj": nodes.astype(object),
+                "n_triangles": pd.Series(
+                    np.ones(len(nodes), dtype=np.int64)
+                ),
+            }
+        )
+
+    tri_inc = bucketed_map_groups(
+        wed.union(edges.map_batches(tag_edge_pair, batch_format="pandas")),
+        ["lo", "hi"],
+        close,
+    )
+
+    # per-node totals, zeros included (every strong-graph node has a
+    # deg row): per-block combine -> bucketed sum
+    def zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["key"].to_numpy(),
+                "n_triangles": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def local_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("subj", as_index=False, sort=True)["n_triangles"].sum()
+        g["n_triangles"] = g["n_triangles"].astype(np.int64)
+        return g
+
+    def sum_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": [g["subj"].iloc[0]],
+                "n_triangles": pd.Series(
+                    [int(g["n_triangles"].sum())], dtype=np.int64
+                ),
+            }
+        )
+
+    return bucketed_map_groups(
+        tri_inc.union(deg.map_batches(zeros, batch_format="pandas"))
+        .map_batches(local_cnt, batch_format="pandas"),
+        "subj",
+        sum_cnt,
+    ).sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -580,7 +823,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": T.doc_stratified_sample,
         # CC over the strong co-mention graph (recursive-CTE oracle)
         "kg_components_planted": _kg_components_planted,
-        # ── 24-33: green in r3, outside r4's sweep window ─────────────
+        # degree-ordered wedge-check triangle counting (3-way-join oracle)
+        "kg_triangles_planted": _kg_triangles_planted,
+        # exact set-similarity self-join via prefix filtering (AllPairs)
+        "doc_jaccard_join": T.doc_jaccard_join,
+        # ── 25-34: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -597,7 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 34-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 35-49: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -628,10 +875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
         "doc_dup_span_stats": T.doc_dup_span_stats,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
+        # ── 50+: r4-green, slid out when the triangle/jaccard-join ops
+        #    rotated in; still CI-checked every run ────────────────────
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         # benchmark decontamination: eval grams broadcast, corpus probed
         "doc_decontaminate": T.doc_decontaminate,
-        # ── 51+: rotated out (green ≥2 consecutive rounds, or rows-only
+        # ── rotated out (green ≥2 consecutive rounds, or rows-only
         #    entries superseded by their planted hash-checked variants;
         #    all still CI-checked every run) ───────────────────────────
         # headline dedup ops, green r3+r4 (also timed every bench run)
@@ -1109,6 +1358,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS subj, min(r) AS component_rep
             FROM reach GROUP BY u ORDER BY subj
         """,
+        "kg_triangles_planted": f"""
+            WITH m AS (
+                SELECT subj, obj AS url FROM ({triples_oracle_sql()})
+                WHERE pred = 'mentioned_in'
+            ),
+            com AS (
+                SELECT a.subj AS ea, b.subj AS eb
+                FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+                GROUP BY ea, eb HAVING count(*) >= 4
+            ),
+            tri AS (
+                SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+                FROM com e1
+                JOIN com e2 ON e1.ea = e2.ea AND e1.eb < e2.eb
+                JOIN com e3 ON e3.ea = e1.eb AND e3.eb = e2.eb
+            ),
+            nodes AS (
+                SELECT ea AS subj FROM com UNION SELECT eb FROM com
+            ),
+            cnt AS (
+                SELECT subj, count(*)::BIGINT AS n FROM (
+                    SELECT a AS subj FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY subj
+            )
+            SELECT nodes.subj, coalesce(cnt.n, 0)::BIGINT AS n_triangles
+            FROM nodes LEFT JOIN cnt USING (subj) ORDER BY subj
+        """,
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100
@@ -1372,6 +1650,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jac_e6
             FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        # exact set-similarity join: the oracle computes the SAME pair
+        # set directly from the shingle relation (no prefix filter —
+        # an independent derivation), all-integer jac_e6
+        "doc_jaccard_join": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY da, db
+            )
+            SELECT da AS doc_a, db AS doc_b, i AS n_inter,
+                   sa.s AS size_a, sb.s AS size_b,
+                   ((2000000 * i + (sa.s + sb.s - i))
+                    // (2 * (sa.s + sb.s - i)))::BIGINT AS jac_e6
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE 100 * i >= 60 * (sa.s + sb.s - i)
+            ORDER BY doc_a, doc_b
         """,
         "doc_neardup_clusters": """
             WITH RECURSIVE toks AS (

@@ -1775,6 +1775,250 @@ def doc_jaccard_sample(
     )
 
 
+def doc_jaccard_join(
+    sf_dir: str,
+    threshold_pct: int = 60,
+    *,
+    n_buckets: int = 512,
+) -> ray.data.Dataset:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Vernica et al. SIGMOD'10):
+    every document pair whose token-3-gram-shingle Jaccard is >=
+    ``threshold_pct``/100, found WITHOUT the quadratic all-pairs pass.
+
+    This is the exact, scalable complement to ``doc_minhash_neardup``
+    (probabilistic) and ``doc_jaccard_sample`` (exact but deliberately
+    quadratic on a sample): order each doc's shingles by ascending
+    global document frequency, index only the first
+    ``s - ceil(t*s) + 1`` of them (the prefix-filter guarantee: two
+    sets with Jaccard >= t MUST share a prefix token under any global
+    order), generate candidates per prefix token with the length
+    filter ``100*min_size >= t_pct*max_size``, then verify candidates
+    exactly against the full shingle sets.
+
+    All integer arithmetic (threshold check ``100*i >= t_pct*u``,
+    ``jac_e6 = (2_000_000*i + u) // (2*u)`` = round-half-up of
+    1e6*i/u), so the DuckDB oracle — which computes the same pair set
+    directly from the shingle relation — matches hash-exactly.
+
+    Scale plan: DF count + attach is ONE co-group on ``shingle_h %
+    n_buckets`` (token text never crosses the wire, only blake2b-u64
+    hashes); prefix selection is a doc-key co-group; candidate
+    generation fans out of a shingle-key co-group bounded by prefix
+    postings (rare-first ordering keeps hot shingles out of prefixes,
+    the standard AllPairs skew defense); candidate dedup is a
+    pair-key bucketed drop_duplicates; verification ships each doc's
+    shingle-set blob at most once per candidate partner via two
+    doc-key co-groups. No stage materializes the corpus driver-side
+    and no stage is quadratic in corpus size — work is output-bound
+    plus candidate-bound, the AllPairs contract.
+    """
+    from ..stages.cogroup import bucketed_drop_duplicates, bucketed_map_groups
+
+    t_pct = int(threshold_pct)
+
+    # per-doc distinct shingle hashes, as (shingle row) + (set blob)
+    def gram_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_ids: list = []
+        hs: list = []
+        sizes: list = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            gh = _shingle_hashes(text)
+            if gh.size == 0:
+                continue
+            doc_ids.extend([doc_id] * gh.size)
+            hs.extend(gh.tolist())
+            sizes.extend([gh.size] * gh.size)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "h": pd.Series(hs, dtype=np.uint64),
+                "size": pd.Series(sizes, dtype=np.int64),
+            }
+        )
+
+    def gram_blobs(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            gh = _shingle_hashes(text)
+            if gh.size == 0:
+                continue
+            ids.append(doc_id)
+            blobs.append(np.sort(gh).tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "grams": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    # DF per shingle, attached in place (one shingle-hash co-group)
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy()
+        out["df"] = np.int64(len(g))
+        return out
+
+    with_df = bucketed_map_groups(rows, "h", attach_df, n_buckets=n_buckets)
+
+    # prefix per doc: rarest-first (df, h) order, length s - ceil(ts) + 1
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["size"].iloc[0])
+        p = s - (t_pct * s + 99) // 100 + 1
+        g = g.sort_values(["df", "h"], kind="mergesort").head(p)
+        return pd.DataFrame(
+            {
+                "h": g["h"].to_numpy(dtype=np.uint64),
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "size": g["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    prefixes = bucketed_map_groups(with_df, "doc_id", prefix, n_buckets=n_buckets)
+
+    # candidates: docs sharing a prefix shingle, length-filtered
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sz = g["size"].to_numpy(dtype=np.int64)
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo, hi = sz[i], sz[j]
+                if lo > hi:
+                    lo, hi = hi, lo
+                if 100 * lo >= t_pct * hi:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=np.int64),
+                "doc_b": pd.Series(out_b, dtype=np.int64),
+            }
+        )
+
+    cands = bucketed_drop_duplicates(
+        bucketed_map_groups(prefixes, "h", candidates, n_buckets=n_buckets),
+        ["doc_a", "doc_b"],
+        n_buckets=n_buckets,
+    )
+
+    blobs = ds.map_batches(gram_blobs, batch_format="pyarrow")
+
+    # verification: attach each side's shingle blob via doc-key
+    # co-groups (blob rows tagged kind=1; candidate rows kind=0)
+    def blob_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["doc_id"].to_numpy(dtype=np.int64),
+                "other": np.full(len(df), -1, dtype=np.int64),
+                "blob": df["grams"].to_numpy(),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def cand_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["doc_a"].to_numpy(dtype=np.int64),
+                "other": df["doc_b"].to_numpy(dtype=np.int64),
+                "blob": pd.Series([b""] * len(df), dtype=object),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        es = g[g["kind"] == 0]
+        ref = g.loc[g["kind"] == 1, "blob"]
+        if not len(es) or not len(ref):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=np.int64),
+                    "other": pd.Series([], dtype=np.int64),
+                    "blob": pd.Series([], dtype=object),
+                    "kind": pd.Series([], dtype=np.int64),
+                }
+            )
+        blob = ref.iloc[0]
+        return pd.DataFrame(
+            {
+                # re-key on doc_b for the second attach; carry doc_a
+                "key": es["other"].to_numpy(dtype=np.int64),
+                "other": es["key"].to_numpy(dtype=np.int64),
+                "blob": pd.Series([blob] * len(es), dtype=object),
+                "kind": pd.Series(np.zeros(len(es), dtype=np.int64)),
+            }
+        )
+
+    half = bucketed_map_groups(
+        blobs.map_batches(blob_keyed, batch_format="pandas").union(
+            cands.map_batches(cand_keyed_a, batch_format="pandas")
+        ),
+        "key",
+        attach_a,
+        n_buckets=n_buckets,
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        es = g[g["kind"] == 0]
+        ref = g.loc[g["kind"] == 1, "blob"]
+        out_a, out_b, out_i, out_sa, out_sb, out_j = [], [], [], [], [], []
+        if len(es) and len(ref):
+            b_set = np.frombuffer(ref.iloc[0], dtype=np.uint64)
+            doc_b = int(g["key"].iloc[0])
+            for doc_a, blob_a in zip(es["other"], es["blob"]):
+                a_set = np.frombuffer(blob_a, dtype=np.uint64)
+                i = int(
+                    np.intersect1d(a_set, b_set, assume_unique=True).size
+                )
+                u = int(a_set.size + b_set.size - i)
+                if 100 * i >= t_pct * u:
+                    out_a.append(int(doc_a))
+                    out_b.append(doc_b)
+                    out_i.append(i)
+                    out_sa.append(int(a_set.size))
+                    out_sb.append(int(b_set.size))
+                    out_j.append((2_000_000 * i + u) // (2 * u))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=np.int64),
+                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "n_inter": pd.Series(out_i, dtype=np.int64),
+                "size_a": pd.Series(out_sa, dtype=np.int64),
+                "size_b": pd.Series(out_sb, dtype=np.int64),
+                "jac_e6": pd.Series(out_j, dtype=np.int64),
+            }
+        )
+
+    out = bucketed_map_groups(
+        blobs.map_batches(blob_keyed, batch_format="pandas").union(half),
+        "key",
+        verify,
+        n_buckets=n_buckets,
+    )
+
+    # well-typed even when empty (schema comparison needs columns)
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "n_inter": pa.array([], type=pa.int64()),
+                "size_a": pa.array([], type=pa.int64()),
+                "size_b": pa.array([], type=pa.int64()),
+                "jac_e6": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    return out.union(empty).sort(["doc_a", "doc_b"])
+
+
 def doc_wordpiece_count(sf_dir: str) -> ray.data.Dataset:
     """Sub-word-ish token counting with an explicit regex
     (letters-runs | digit-runs | single punct), the shared contract with

@@ -112,3 +112,79 @@ def test_components_split_is_nontrivial(ray_session):
     # the rep really is the lexicographic min of its members
     for rep, grp in got.groupby("component_rep"):
         assert grp["subj"].min() == rep
+
+
+def test_triangle_counts_match_bruteforce(ray_session):
+    """kg_triangles_planted (degree-ordered wedge-check) vs a
+    driver-side brute-force triangle enumeration over the SAME strong
+    co-mention edges — independent of both the Ray plumbing and the
+    SQL oracle's three-way join."""
+    from itertools import combinations
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 4]
+    adj: dict = {}
+    for a, b in zip(strong["ea"], strong["eb"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    truth = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            truth[a] += 1
+            truth[b] += 1
+            truth[c] += 1
+
+    got = E._kg_triangles_planted(SF).to_pandas()
+    assert len(got) == len(truth)
+    for subj, n in zip(got["subj"], got["n_triangles"]):
+        assert n == truth[subj], (subj, n, truth[subj])
+    # non-vacuous: the planted graph keeps real triangles at this cut
+    assert sum(truth.values()) > 0
+    # handshake invariant: the global count is sum/3, an integer
+    assert sum(truth.values()) % 3 == 0
+
+
+def test_jaccard_join_exact_vs_bruteforce(ray_session):
+    """doc_jaccard_join (prefix-filter candidates + verify) finds
+    EXACTLY the pairs a quadratic all-pairs scan finds — the prefix
+    filter must be lossless at the threshold."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import _shingle_hashes, doc_jaccard_join
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    sets = {
+        int(d): set(_shingle_hashes(t).tolist())
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if len(_shingle_hashes(t))
+    }
+    ids = sorted(sets)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if 100 * inter >= 60 * union:
+                truth[(a, b)] = (
+                    inter,
+                    len(sets[a]),
+                    len(sets[b]),
+                    (2_000_000 * inter + union) // (2 * union),
+                )
+
+    got = doc_jaccard_join(SF).to_pandas()
+    pairs = {
+        (int(r.doc_a), int(r.doc_b)): (
+            int(r.n_inter),
+            int(r.size_a),
+            int(r.size_b),
+            int(r.jac_e6),
+        )
+        for r in got.itertuples()
+    }
+    assert pairs == truth
+    assert len(truth) > 0  # non-vacuous
