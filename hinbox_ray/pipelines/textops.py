@@ -1775,6 +1775,7 @@ def doc_jaccard_sample(
     )
 
 
+
 def doc_jaccard_join(
     sf_dir: str,
     threshold_pct: int = 60,
@@ -1788,56 +1789,44 @@ def doc_jaccard_join(
 
     This is the exact, scalable complement to ``doc_minhash_neardup``
     (probabilistic) and ``doc_jaccard_sample`` (exact but deliberately
-    quadratic on a sample): order each doc's shingles by ascending
-    global document frequency, index only the first
-    ``s - ceil(t*s) + 1`` of them (the prefix-filter guarantee: two
-    sets with Jaccard >= t MUST share a prefix token under any global
-    order), generate candidates per prefix token with the length
-    filter ``100*min_size >= t_pct*max_size``, then verify candidates
-    exactly against the full shingle sets.
+    quadratic on a sample). Two stages:
+
+    1. **Identical-set collapse** (the duplicate-elimination
+       preprocessing of Xiao et al.): docs with byte-identical sorted
+       shingle-set blobs group under one 16-byte blake2b set key; one
+       representative per set enters the join, within-set pairs are
+       emitted directly (Jaccard is a function of the SET, so this is
+       lossless). Without it a replicated corpus pays the candidate
+       cost once per copy-pair: the 20x-rekeyed 100k forced-scale
+       corpus generates 145M prefix candidates raw but only ~0.4M
+       after collapse.
+    2. **Prefix-filter join over distinct sets**: order each set's
+       shingles by ascending global document frequency, index only
+       the first ``s - ceil(t*s) + 1`` (two sets with Jaccard >= t
+       MUST share a prefix token under any global order), generate
+       candidates per prefix token (vectorized, with the length
+       filter ``100*min_size >= t_pct*max_size``), verify candidates
+       against full shingle blobs, then expand rep-level pairs back
+       to doc pairs through the membership table.
 
     All integer arithmetic (threshold check ``100*i >= t_pct*u``,
     ``jac_e6 = (2_000_000*i + u) // (2*u)`` = round-half-up of
     1e6*i/u), so the DuckDB oracle — which computes the same pair set
     directly from the shingle relation — matches hash-exactly.
 
-    Scale plan: DF count + attach is ONE co-group on ``shingle_h %
-    n_buckets`` (token text never crosses the wire, only blake2b-u64
-    hashes); prefix selection is a doc-key co-group; candidate
-    generation fans out of a shingle-key co-group bounded by prefix
-    postings (rare-first ordering keeps hot shingles out of prefixes,
-    the standard AllPairs skew defense); candidate dedup is a
-    pair-key bucketed drop_duplicates; verification ships each doc's
-    shingle-set blob at most once per candidate partner via two
-    doc-key co-groups. No stage materializes the corpus driver-side
-    and no stage is quadratic in corpus size — work is output-bound
-    plus candidate-bound, the AllPairs contract.
+    Scale plan: every stage is a bucketed co-group on set-key /
+    shingle-hash / doc-key spaces; shingle text never crosses the
+    wire (blake2b-u64 hashes only); candidate work is bounded by
+    prefix postings over DISTINCT sets (rare-first ordering keeps hot
+    shingles out of prefixes); expansion is output-bound. The one
+    materialization is the collapsed cluster table (one blob per
+    distinct set + two int64s per doc) — strictly smaller than the
+    corpus; above object-store scale it wants the parquet-checkpoint
+    valve (state/lineage.py) like the k-means vector table.
     """
     from ..stages.cogroup import bucketed_drop_duplicates, bucketed_map_groups
 
     t_pct = int(threshold_pct)
-
-    # per-doc distinct shingle hashes, as (shingle row) + (set blob)
-    def gram_rows(batch: pa.Table) -> pd.DataFrame:
-        doc_ids: list = []
-        hs: list = []
-        sizes: list = []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            gh = _shingle_hashes(text)
-            if gh.size == 0:
-                continue
-            doc_ids.extend([doc_id] * gh.size)
-            hs.extend(gh.tolist())
-            sizes.extend([gh.size] * gh.size)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(doc_ids, dtype=np.int64),
-                "h": pd.Series(hs, dtype=np.uint64),
-                "size": pd.Series(sizes, dtype=np.int64),
-            }
-        )
 
     def gram_blobs(batch: pa.Table) -> pa.Table:
         ids, blobs = [], []
@@ -1857,9 +1846,119 @@ def doc_jaccard_join(
         )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+    blobs = ds.map_batches(gram_blobs, batch_format="pyarrow")
 
-    # DF per shingle, attached in place (one shingle-hash co-group)
+    # ── stage 1: collapse identical shingle sets ──────────────────────
+    def add_set_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "skey": pd.Series(
+                    [
+                        hashlib.blake2b(b, digest_size=16).digest()
+                        for b in df["grams"]
+                    ],
+                    dtype=object,
+                ),
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "grams": df["grams"].to_numpy(),
+            }
+        )
+
+    def cluster_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        """Per distinct set: rep blob row (kind 1), member rows
+        (kind 0, a=rep, b=member), within-set pairs (kind 2)."""
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        rep = int(ids[0])
+        blob = g["grams"].iloc[0]
+        size = np.int64(len(blob) // 8)
+        m = len(ids)
+        ii, jj = np.triu_indices(m, k=1)
+        a = np.concatenate(
+            [np.full(m, rep, dtype=np.int64), [rep], ids[ii]]
+        )
+        b = np.concatenate([ids, [-1], ids[jj]])
+        kind = np.concatenate(
+            [
+                np.zeros(m, dtype=np.int64),
+                [1],
+                np.full(len(ii), 2, dtype=np.int64),
+            ]
+        )
+        out_blob = [b""] * m + [blob] + [b""] * len(ii)
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": b,
+                "kind": kind,
+                "size": np.full(len(a), size, dtype=np.int64),
+                "blob": pd.Series(out_blob, dtype=object),
+            }
+        )
+
+    clusters = bucketed_map_groups(
+        blobs.map_batches(add_set_key, batch_format="pandas"),
+        "skey",
+        cluster_kernel,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def members_f(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "rep": m["a"].to_numpy(dtype=np.int64),
+                "member": m["b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def rep_blobs_f(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"] == 1]
+        return pd.DataFrame(
+            {
+                "doc_id": m["a"].to_numpy(dtype=np.int64),
+                "grams": m["blob"].to_numpy(),
+            }
+        )
+
+    def within_f(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"] == 2]
+        s = m["size"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": m["a"].to_numpy(dtype=np.int64),
+                "doc_b": m["b"].to_numpy(dtype=np.int64),
+                "n_inter": s,
+                "size_a": s,
+                "size_b": s,
+                "jac_e6": np.full(len(m), 1_000_000, dtype=np.int64),
+            }
+        )
+
+    members = clusters.map_batches(members_f, batch_format="pandas")
+    rep_blobs = clusters.map_batches(rep_blobs_f, batch_format="pandas")
+    within = clusters.map_batches(within_f, batch_format="pandas")
+
+    # ── stage 2: prefix-filter join over distinct sets ────────────────
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list = []
+        hs: list = []
+        sizes: list = []
+        for doc_id, blob in zip(df["doc_id"], df["grams"]):
+            gh = np.frombuffer(blob, dtype=np.uint64)
+            doc_ids.extend([int(doc_id)] * gh.size)
+            hs.extend(gh.tolist())
+            sizes.extend([gh.size] * gh.size)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype=np.int64),
+                "h": pd.Series(hs, dtype=np.uint64),
+                "size": pd.Series(sizes, dtype=np.int64),
+            }
+        )
+
+    rows = rep_blobs.map_batches(gram_rows, batch_format="pandas")
+
+    # DF per shingle over distinct sets, attached in place
     def attach_df(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
         out["df"] = np.int64(len(g))
@@ -1867,7 +1966,7 @@ def doc_jaccard_join(
 
     with_df = bucketed_map_groups(rows, "h", attach_df, n_buckets=n_buckets)
 
-    # prefix per doc: rarest-first (df, h) order, length s - ceil(ts) + 1
+    # prefix per set: rarest-first (df, h) order, length s - ceil(ts) + 1
     def prefix(g: pd.DataFrame) -> pd.DataFrame:
         s = int(g["size"].iloc[0])
         p = s - (t_pct * s + 99) // 100 + 1
@@ -1882,24 +1981,22 @@ def doc_jaccard_join(
 
     prefixes = bucketed_map_groups(with_df, "doc_id", prefix, n_buckets=n_buckets)
 
-    # candidates: docs sharing a prefix shingle, length-filtered
+    # candidates: sets sharing a prefix shingle, length-filtered
+    # (vectorized: sort by size, emit the upper triangle, prune pairs
+    # whose size ratio alone rules the threshold out)
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
+        g = g.sort_values(["size", "doc_id"], kind="mergesort")
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         sz = g["size"].to_numpy(dtype=np.int64)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo, hi = sz[i], sz[j]
-                if lo > hi:
-                    lo, hi = hi, lo
-                if 100 * lo >= t_pct * hi:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = 100 * sz[ii] >= t_pct * sz[jj]  # sz sorted: lo=ii, hi=jj
+        ii, jj = ii[keep], jj[keep]
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype=np.int64),
-                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "doc_a": pd.Series(a, dtype=np.int64),
+                "doc_b": pd.Series(b, dtype=np.int64),
             }
         )
 
@@ -1908,8 +2005,6 @@ def doc_jaccard_join(
         ["doc_a", "doc_b"],
         n_buckets=n_buckets,
     )
-
-    blobs = ds.map_batches(gram_blobs, batch_format="pyarrow")
 
     # verification: attach each side's shingle blob via doc-key
     # co-groups (blob rows tagged kind=1; candidate rows kind=0)
@@ -1952,12 +2047,12 @@ def doc_jaccard_join(
                 "key": es["other"].to_numpy(dtype=np.int64),
                 "other": es["key"].to_numpy(dtype=np.int64),
                 "blob": pd.Series([blob] * len(es), dtype=object),
-                "kind": pd.Series(np.zeros(len(es), dtype=np.int64)),
+                "kind": np.zeros(len(es), dtype=np.int64),
             }
         )
 
     half = bucketed_map_groups(
-        blobs.map_batches(blob_keyed, batch_format="pandas").union(
+        rep_blobs.map_batches(blob_keyed, batch_format="pandas").union(
             cands.map_batches(cand_keyed_a, batch_format="pandas")
         ),
         "key",
@@ -1987,8 +2082,8 @@ def doc_jaccard_join(
                     out_j.append((2_000_000 * i + u) // (2 * u))
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype=np.int64),
-                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "ka": pd.Series(out_a, dtype=np.int64),
+                "kb": pd.Series(out_b, dtype=np.int64),
                 "n_inter": pd.Series(out_i, dtype=np.int64),
                 "size_a": pd.Series(out_sa, dtype=np.int64),
                 "size_b": pd.Series(out_sb, dtype=np.int64),
@@ -1996,10 +2091,129 @@ def doc_jaccard_join(
             }
         )
 
-    out = bucketed_map_groups(
-        blobs.map_batches(blob_keyed, batch_format="pandas").union(half),
+    rep_pairs = bucketed_map_groups(
+        rep_blobs.map_batches(blob_keyed, batch_format="pandas").union(half),
         "key",
         verify,
+        n_buckets=n_buckets,
+    )
+
+    # ── expand rep-level pairs through cluster membership ─────────────
+    # (two co-group attaches on the rep key; fan-out = cluster sizes,
+    # i.e. output-bound)
+    def member_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["rep"].to_numpy(dtype=np.int64),
+                "member": df["member"].to_numpy(dtype=np.int64),
+                "kb": np.full(len(df), -1, dtype=np.int64),
+                "n_inter": np.zeros(len(df), dtype=np.int64),
+                "size_a": np.zeros(len(df), dtype=np.int64),
+                "size_b": np.zeros(len(df), dtype=np.int64),
+                "jac_e6": np.zeros(len(df), dtype=np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def pair_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["ka"].to_numpy(dtype=np.int64),
+                "member": np.full(len(df), -1, dtype=np.int64),
+                "kb": df["kb"].to_numpy(dtype=np.int64),
+                "n_inter": df["n_inter"].to_numpy(dtype=np.int64),
+                "size_a": df["size_a"].to_numpy(dtype=np.int64),
+                "size_b": df["size_b"].to_numpy(dtype=np.int64),
+                "jac_e6": df["jac_e6"].to_numpy(dtype=np.int64),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def expand_a(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g[g["kind"] == 0]
+        ms = g.loc[g["kind"] == 1, "member"].to_numpy(dtype=np.int64)
+        if not len(ps) or not ms.size:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=np.int64)
+                    for c in [
+                        "key",
+                        "member",
+                        "kb",
+                        "n_inter",
+                        "size_a",
+                        "size_b",
+                        "jac_e6",
+                        "kind",
+                    ]
+                }
+            )
+        n, m = len(ps), ms.size
+        rep = np.repeat(np.arange(n), m)
+        return pd.DataFrame(
+            {
+                # re-key on kb for the second expand; carry member_a
+                "key": ps["kb"].to_numpy(dtype=np.int64)[rep],
+                "member": np.tile(ms, n),
+                "kb": np.full(n * m, -1, dtype=np.int64),
+                "n_inter": ps["n_inter"].to_numpy(dtype=np.int64)[rep],
+                "size_a": ps["size_a"].to_numpy(dtype=np.int64)[rep],
+                "size_b": ps["size_b"].to_numpy(dtype=np.int64)[rep],
+                "jac_e6": ps["jac_e6"].to_numpy(dtype=np.int64)[rep],
+                "kind": np.zeros(n * m, dtype=np.int64),
+            }
+        )
+
+    half_exp = bucketed_map_groups(
+        members.map_batches(member_keyed, batch_format="pandas").union(
+            rep_pairs.map_batches(pair_keyed_a, batch_format="pandas")
+        ),
+        "key",
+        expand_a,
+        n_buckets=n_buckets,
+    )
+
+    def expand_b(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g[g["kind"] == 0]
+        ms = g.loc[g["kind"] == 1, "member"].to_numpy(dtype=np.int64)
+        if not len(ps) or not ms.size:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=np.int64)
+                    for c in [
+                        "doc_a",
+                        "doc_b",
+                        "n_inter",
+                        "size_a",
+                        "size_b",
+                        "jac_e6",
+                    ]
+                }
+            )
+        n, m = len(ps), ms.size
+        rep = np.repeat(np.arange(n), m)
+        a = ps["member"].to_numpy(dtype=np.int64)[rep]
+        b = np.tile(ms, n)
+        sa = ps["size_a"].to_numpy(dtype=np.int64)[rep]
+        sb = ps["size_b"].to_numpy(dtype=np.int64)[rep]
+        flip = a > b
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(flip, b, a),
+                "doc_b": np.where(flip, a, b),
+                "n_inter": ps["n_inter"].to_numpy(dtype=np.int64)[rep],
+                "size_a": np.where(flip, sb, sa),
+                "size_b": np.where(flip, sa, sb),
+                "jac_e6": ps["jac_e6"].to_numpy(dtype=np.int64)[rep],
+            }
+        )
+
+    cross = bucketed_map_groups(
+        members.map_batches(member_keyed, batch_format="pandas").union(
+            half_exp
+        ),
+        "key",
+        expand_b,
         n_buckets=n_buckets,
     )
 
@@ -2016,7 +2230,7 @@ def doc_jaccard_join(
             }
         )
     )
-    return out.union(empty).sort(["doc_a", "doc_b"])
+    return cross.union(within).union(empty).sort(["doc_a", "doc_b"])
 
 
 def doc_wordpiece_count(sf_dir: str) -> ray.data.Dataset:
