@@ -827,7 +827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles_planted": _kg_triangles_planted,
         # exact set-similarity self-join via prefix filtering (AllPairs)
         "doc_jaccard_join": T.doc_jaccard_join,
-        # ── 25-34: green in r3, outside r4's sweep window ─────────────
+        # exact per-source length percentiles (quantile_disc semantics)
+        "corpus_source_percentiles": T.corpus_source_percentiles,
+        # ── 26-35: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -844,7 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 35-49: green once (r4) — stay until 2 consecutive greens ──
+        # ── 36-49: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -874,9 +876,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": T.doc_chunk_dedup,
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
         "doc_dup_span_stats": T.doc_dup_span_stats,
+        # ── 50+: r4-green, slid out when the round-5 triangle /
+        #    jaccard-join / percentile ops rotated in; still CI-checked
+        #    every run ────────────────────────────────────────────────
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
-        # ── 50+: r4-green, slid out when the triangle/jaccard-join ops
-        #    rotated in; still CI-checked every run ────────────────────
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         # benchmark decontamination: eval grams broadcast, corpus probed
         "doc_decontaminate": T.doc_decontaminate,
@@ -1680,6 +1683,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = db
             WHERE 100 * i >= 60 * (sa.s + sb.s - i)
             ORDER BY doc_a, doc_b
+        """,
+        "corpus_source_percentiles": """
+            SELECT source, pct, n_chars_pct FROM (
+                SELECT source, 25::BIGINT AS pct,
+                       quantile_disc(n_chars, 0.25)::BIGINT AS n_chars_pct
+                FROM documents GROUP BY source
+                UNION ALL
+                SELECT source, 50::BIGINT,
+                       quantile_disc(n_chars, 0.50)::BIGINT
+                FROM documents GROUP BY source
+                UNION ALL
+                SELECT source, 90::BIGINT,
+                       quantile_disc(n_chars, 0.90)::BIGINT
+                FROM documents GROUP BY source
+            ) ORDER BY source, pct
         """,
         "doc_neardup_clusters": """
             WITH RECURSIVE toks AS (

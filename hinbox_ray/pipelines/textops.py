@@ -2302,6 +2302,70 @@ def doc_split_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def corpus_source_percentiles(
+    sf_dir: str, qs: tuple = (25, 50, 90)
+) -> ray.data.Dataset:
+    """EXACT per-source doc-length percentiles (DuckDB
+    ``quantile_disc`` convention: sorted ascending, element at index
+    ``ceil(q*n) - 1``) — the per-domain distribution profiler a
+    curation pipeline uses to set per-source length cutoffs.
+
+    Scale plan: a per-block combiner reduces corpus rows to
+    (source, n_chars) → count triples BEFORE the shuffle (per-source
+    distinct lengths are value-vocabulary-scale, not corpus-scale),
+    then ONE source-hash co-group merges the counts and picks each
+    requested rank off the cumulative sum — the grouped-data analog
+    of the sparse-histogram trick in ``orders_price_quantiles``, with
+    no second pass because the values ARE the histogram keys. No
+    driver state, no full sort, hot sources cost one kernel call over
+    their distinct-length table.
+    """
+    from ..stages.cogroup import bucketed_map_groups
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["source", "n_chars"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["n_chars"] = g["n_chars"].astype(np.int64)
+        return g
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("n_chars", sort=True)["n"].sum()
+        vals = m.index.to_numpy(dtype=np.int64)
+        cum = np.cumsum(m.to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        pcts, out_vals = [], []
+        for q in qs:
+            rank = max(0, min(total - 1, -(-q * total // 100) - 1))
+            idx = int(np.searchsorted(cum, rank, side="right"))
+            pcts.append(int(q))
+            out_vals.append(int(vals[idx]))
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [g["source"].iloc[0]] * len(qs), dtype=object
+                ),
+                "pct": pd.Series(pcts, dtype=np.int64),
+                "n_chars_pct": pd.Series(out_vals, dtype=np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return bucketed_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"), "source", pick
+    ).sort(["source", "pct"])
+
+
 def corpus_domain_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source corpus curation stats: docs, bytes, English share.
 

@@ -188,3 +188,23 @@ def test_jaccard_join_exact_vs_bruteforce(ray_session):
     }
     assert pairs == truth
     assert len(truth) > 0  # non-vacuous
+
+
+def test_source_percentiles_match_numpy(ray_session):
+    """corpus_source_percentiles vs a numpy sort per source — pins the
+    ceil(q*n)-1 quantile_disc convention independently of DuckDB."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import corpus_source_percentiles
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    got = corpus_source_percentiles(SF).to_pandas()
+    assert len(got) == docs["source"].nunique() * 3
+    for r in got.itertuples():
+        vals = np.sort(
+            docs.loc[docs["source"] == r.source, "n_chars"].to_numpy()
+        )
+        rank = max(0, min(len(vals) - 1, -(-r.pct * len(vals) // 100) - 1))
+        assert r.n_chars_pct == vals[rank], (r.source, r.pct)
