@@ -719,6 +719,182 @@ def _kg_triangles_planted(sf_dir: str, min_docs: int = 4) -> Any:
     ).sort("subj")
 
 
+def _kg_kcore_planted(
+    sf_dir: str, min_docs: int = 6, k: int = 4, rounds: int = 5
+) -> Any:
+    """k-core decomposition of the strong co-mention graph (edges seen
+    in >= ``min_docs`` documents) — the degeneracy/cohesion primitive
+    over the KG output, completing the graph-consumer family
+    (degree → pagerank → components → triangles → k-core). Classic
+    iterative peeling: repeatedly delete nodes of degree < ``k`` until
+    a fixpoint; a node is in the k-core iff it survives.
+
+    Exactness contract: exactly ``rounds`` peel rounds run (the DuckDB
+    oracle unrolls the same rounds as chained CTEs — the
+    pagerank-oracle trick applied to a deletion recurrence). On the
+    planted graph at (min_docs=6, k=4) the peel cascades for 3 rounds
+    (23 nodes → a 5-node core; each round's deletions drop new nodes
+    below k, so the ITERATION is actually exercised) and rounds=5
+    leaves 2 rounds of fixpoint margin; the fixpoint is pinned
+    independently in tests against a peel-until-stable loop.
+
+    Emits (subj, in_core, deg_in_core) for every strong-graph node,
+    sorted by subj.
+
+    Scale plan: each round is one Pregel-style superstep = 3 bucketed
+    co-groups (endpoint-count degree sum, then survivor-filter on ea,
+    then on eb) on node-hash keys; the edge table is
+    entity-graph-scale (≪ corpus) and is re-materialized ONCE per
+    round — the superstep barrier — so lineage does not double per
+    round (edges feed both the next filter and the degree recount);
+    the degree table stays lazy (single consumer per round). 64
+    buckets + a pre-barrier repartition keep the per-round block count
+    O(parallelism) rather than O(buckets) — with tiny per-bucket
+    groups the executor's per-block fixed cost IS the stage. Driver
+    state is zero; deletions never collect driver-side.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[df["n_docs"] >= min_docs][["ea", "eb"]]
+            .reset_index(drop=True)
+        )
+
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.concat([df["ea"], df["eb"]], ignore_index=True)
+        g = (
+            names.to_frame("key")
+            .groupby("key", as_index=False, sort=True)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "deg": g["size"].astype(np.int64),
+            }
+        )
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([int(g["deg"].sum())], dtype=np.int64),
+            }
+        )
+
+    def degrees(edge_ds):
+        return bucketed_map_groups(
+            edge_ds.map_batches(local_deg, batch_format="pandas"),
+            "key",
+            sum_deg,
+            n_buckets=64,
+        )
+
+    # survivor-filter co-group: edge rows (kind=0) keyed on one
+    # endpoint, survivor markers (kind=1); keep edges iff the keyed
+    # endpoint survives this round
+    def edge_keyed(df: pd.DataFrame, key_col: str) -> pd.DataFrame:
+        other = "eb" if key_col == "ea" else "ea"
+        return pd.DataFrame(
+            {
+                "key": df[key_col].to_numpy(),
+                "other": df[other].to_numpy(),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def survivor_marks(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["deg"] >= k]
+        return pd.DataFrame(
+            {
+                "key": s["key"].to_numpy(),
+                "other": pd.Series([""] * len(s), dtype=object),
+                "kind": np.ones(len(s), dtype=np.int64),
+            }
+        )
+
+    def keep_alive(key_col: str):
+        other = "eb" if key_col == "ea" else "ea"
+
+        def kernel(g: pd.DataFrame) -> pd.DataFrame:
+            es = g[g["kind"] == 0]
+            if not (g["kind"] == 1).any() or not len(es):
+                return pd.DataFrame(
+                    {
+                        "ea": pd.Series([], dtype=object),
+                        "eb": pd.Series([], dtype=object),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    key_col: es["key"].to_numpy(),
+                    other: es["other"].to_numpy(),
+                }
+            )[["ea", "eb"]]
+
+        return kernel
+
+    edges = (
+        com.map_batches(strong, batch_format="pandas")
+        .repartition(4)
+        .materialize()
+    )
+    nodes0 = degrees(edges).repartition(4).materialize()
+
+    deg = nodes0  # lazy after round 1; single consumer per round
+    for _ in range(rounds):
+        for key_col in ("ea", "eb"):
+            edges = bucketed_map_groups(
+                edges.map_batches(
+                    lambda df, kc=key_col: edge_keyed(df, kc),
+                    batch_format="pandas",
+                ).union(
+                    deg.map_batches(survivor_marks, batch_format="pandas")
+                ),
+                "key",
+                keep_alive(key_col),
+                n_buckets=64,
+            )
+        # superstep barrier: one execution per round, lineage cut
+        edges = edges.repartition(4).materialize()
+        deg = degrees(edges)
+
+    # final attach: every initial node LEFT JOIN the post-peel degree
+    def tag_init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].to_numpy(),
+                "deg": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        survived = g[g["deg"] >= 0]
+        d = int(survived["deg"].iloc[0]) if len(survived) else 0
+        return pd.DataFrame(
+            {
+                "subj": [g["key"].iloc[0]],
+                "in_core": pd.Series(
+                    [1 if len(survived) else 0], dtype=np.int64
+                ),
+                "deg_in_core": pd.Series([d], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        nodes0.map_batches(tag_init, batch_format="pandas").union(deg),
+        "key",
+        finalize,
+        n_buckets=64,
+    ).sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -825,11 +1001,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components_planted": _kg_components_planted,
         # degree-ordered wedge-check triangle counting (3-way-join oracle)
         "kg_triangles_planted": _kg_triangles_planted,
+        # k-core via fixed-round peeling (oracle unrolls the rounds)
+        "kg_kcore_planted": _kg_kcore_planted,
         # exact set-similarity self-join via prefix filtering (AllPairs)
         "doc_jaccard_join": T.doc_jaccard_join,
         # exact per-source length percentiles (quantile_disc semantics)
         "corpus_source_percentiles": T.corpus_source_percentiles,
-        # ── 26-35: green in r3, outside r4's sweep window ─────────────
+        # ── 27-36: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -846,7 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 36-49: green once (r4) — stay until 2 consecutive greens ──
+        # ── 37-49: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -874,11 +1052,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_clusters": T.doc_neardup_clusters,
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
-        # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
-        "doc_dup_span_stats": T.doc_dup_span_stats,
-        # ── 50+: r4-green, slid out when the round-5 triangle /
+        # ── 50+: r4-green, slid out when the round-5 triangle / k-core /
         #    jaccard-join / percentile ops rotated in; still CI-checked
         #    every run ────────────────────────────────────────────────
+        # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
+        "doc_dup_span_stats": T.doc_dup_span_stats,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
         "doc_tfidf_top_terms": T.doc_tfidf_top_terms,
         # benchmark decontamination: eval grams broadcast, corpus probed
@@ -1299,6 +1477,50 @@ def oracle_sql() -> dict[str, str]:
         FROM {_pr_prev} ORDER BY subj
     """
 
+    # k-core peeling unrolled round by round (min_docs=6, k=4,
+    # rounds=5) — same deletion recurrence as _kg_kcore_planted: round
+    # t keeps edges whose BOTH endpoints had degree >= k in d{t-1}
+    _kc_rounds = []
+    for _t in range(1, 6):
+        # AS MATERIALIZED: without it DuckDB inlines every CTE
+        # reference and the round recurrence expands 5^t copies of the
+        # base scan (e_t refs e_{t-1} once + d_{t-1} twice, d refs e
+        # twice) — "too many open files" by round 5
+        _kc_rounds.append(f"""
+            e{_t} AS MATERIALIZED (
+                SELECT ea, eb FROM e{_t - 1}
+                WHERE ea IN (SELECT node FROM d{_t - 1} WHERE deg >= 4)
+                  AND eb IN (SELECT node FROM d{_t - 1} WHERE deg >= 4)
+            ),
+            d{_t} AS MATERIALIZED (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT ea AS node FROM e{_t}
+                    UNION ALL SELECT eb FROM e{_t}
+                ) GROUP BY node
+            )""")
+    _KCORE_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({{triples}})
+            WHERE pred = 'mentioned_in'
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb HAVING count(*) >= 6
+        ),
+        d0 AS MATERIALIZED (
+            SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT ea AS node FROM e0 UNION ALL SELECT eb FROM e0
+            ) GROUP BY node
+        ),
+        {','.join(_kc_rounds)}
+        SELECT d0.node AS subj,
+               (CASE WHEN d5.deg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS in_core,
+               coalesce(d5.deg, 0)::BIGINT AS deg_in_core
+        FROM d0 LEFT JOIN d5 ON d0.node = d5.node ORDER BY subj
+    """.replace("{triples}", triples_oracle_sql())
+
     _KNN_EXACT_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -1390,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT nodes.subj, coalesce(cnt.n, 0)::BIGINT AS n_triangles
             FROM nodes LEFT JOIN cnt USING (subj) ORDER BY subj
         """,
+        "kg_kcore_planted": _KCORE_SQL,
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100

@@ -208,3 +208,43 @@ def test_source_percentiles_match_numpy(ray_session):
         )
         rank = max(0, min(len(vals) - 1, -(-r.pct * len(vals) // 100) - 1))
         assert r.n_chars_pct == vals[rank], (r.source, r.pct)
+
+
+def test_kcore_matches_peel_to_fixpoint(ray_session):
+    """kg_kcore_planted (5 fixed peel rounds) vs an independent
+    peel-until-stable loop over the SAME strong co-mention edges —
+    proves the fixed-round unroll reaches the true fixpoint AND that
+    the peel actually cascades (>= 2 removal rounds) so the iteration
+    is non-vacuous."""
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 6]
+    edges = set(zip(strong["ea"], strong["eb"]))
+    nodes0 = {x for e in edges for x in e}
+    removal_rounds = 0
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        rm = {n for n, d in deg.items() if d < 4}
+        if not rm:
+            break
+        edges = {(a, b) for a, b in edges if a not in rm and b not in rm}
+        removal_rounds += 1
+    assert removal_rounds >= 2  # the iteration is exercised
+    assert removal_rounds <= 5  # the fixed-round unroll reaches fixpoint
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    got = E._kg_kcore_planted(SF).to_pandas()
+    assert len(got) == len(nodes0)
+    assert set(got.loc[got["in_core"] == 1, "subj"]) == set(deg)
+    assert 0 < len(deg) < len(nodes0)  # non-trivial core
+    for r in got.itertuples():
+        assert r.deg_in_core == deg.get(r.subj, 0), (r.subj, r.deg_in_core)
+        if r.in_core:
+            assert r.deg_in_core >= 4  # k-core degree invariant
