@@ -1024,7 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 37-49: green once (r4) — stay until 2 consecutive greens ──
+        # ── 37-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1052,7 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_neardup_clusters": T.doc_neardup_clusters,
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
-        # ── 50+: r4-green, slid out when the round-5 triangle / k-core /
+        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
         #    jaccard-join / percentile ops rotated in; still CI-checked
         #    every run ────────────────────────────────────────────────
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
