@@ -1007,7 +1007,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_join": T.doc_jaccard_join,
         # exact per-source length percentiles (quantile_disc semantics)
         "corpus_source_percentiles": T.corpus_source_percentiles,
-        # ── 27-36: green in r3, outside r4's sweep window ─────────────
+        # non-parquet ingest parity: dedup over a sharded-JSONL
+        # round-trip vs the parquet-reading oracle
+        "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
+        # ── 28-37: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1024,7 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 37-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 38-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1051,10 +1054,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle recomputes the clusters from the exact pair set)
         "doc_neardup_clusters": T.doc_neardup_clusters,
         "doc_simhash_neardup": T.doc_simhash_neardup,
-        "doc_chunk_dedup": T.doc_chunk_dedup,
         # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    jaccard-join / percentile ops rotated in; still CI-checked
-        #    every run ────────────────────────────────────────────────
+        #    jaccard-join / percentile / jsonl ops rotated in; still
+        #    CI-checked every run ───────────────────────────────────────
+        "doc_chunk_dedup": T.doc_chunk_dedup,
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
         "doc_dup_span_stats": T.doc_dup_span_stats,
         "doc_repeated_ngrams": T.doc_repeated_ngrams,
@@ -1706,6 +1709,15 @@ def oracle_sql() -> dict[str, str]:
         # harmonic sum + floor-division estimate (analytics.py)
         "events_hll_users": _hll_sql(),
         "doc_dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text_md5 ORDER BY text_md5
+        """,
+        # same oracle as doc_dedup_exact on purpose: the Ray side reads
+        # a sharded-JSONL round-trip of the table, so a hash match
+        # proves the non-parquet ingest path is lossless
+        "doc_dedup_exact_jsonl": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups

@@ -84,12 +84,8 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
 # Exact dedup
 
 
-def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Hash-partition exact dedup: one row per distinct text.
-
-    Emits (text_md5, keep_doc_id = min doc_id in the group, n_dups).
-    Only (hash, id) pairs cross the shuffle.
-    """
+def _dedup_exact_over(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Shared exact-dedup body over any (doc_id, text) dataset."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         md5s = [
@@ -100,7 +96,6 @@ def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
             {"text_md5": pa.array(md5s, type=pa.string()), "doc_id": batch["doc_id"]}
         )
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (
         ds.map_batches(hash_batch, batch_format="pyarrow")
         .groupby("text_md5")
@@ -109,6 +104,31 @@ def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
             Count(alias_name="n_dups"),
         )
         .sort("text_md5")
+    )
+
+
+def doc_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Hash-partition exact dedup: one row per distinct text.
+
+    Emits (text_md5, keep_doc_id = min doc_id in the group, n_dups).
+    Only (hash, id) pairs cross the shuffle.
+    """
+    return _dedup_exact_over(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def doc_dedup_exact_jsonl(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup over the JSONL source path — same pipeline body as
+    ``doc_dedup_exact`` but reading the documents table through a
+    sharded-JSONL round-trip (``sources/reader.py:read_documents_jsonl``).
+    The oracle is the SAME parquet-reading SQL, so a hash match proves
+    the non-parquet ingest path is byte-lossless end to end (ids AND
+    unicode text)."""
+    from ..sources.reader import read_documents_jsonl
+
+    return _dedup_exact_over(
+        read_documents_jsonl(sf_dir, columns=["doc_id", "text"])
     )
 
 

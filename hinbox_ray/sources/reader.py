@@ -58,3 +58,49 @@ def read_parquet_clean(
     return ray.data.read_parquet(
         path, columns=columns, schema=clean_schema(path, columns), **kwargs
     )
+
+
+def read_documents_jsonl(
+    sf_dir: str,
+    columns: Optional[List[str]] = None,
+    cache_root: str = "/tmp/graft_jsonl",
+) -> ray.data.Dataset:
+    """The documents table through a JSONL round-trip — the
+    non-parquet source path (S-family source-format breadth).
+
+    Ray writes the table once to sharded JSONL under ``cache_root``
+    (distributed ``write_json``, tmp-dir + atomic rename, _SUCCESS
+    marker — the same resumable-sink idiom as state/lineage.py), then
+    every call streams it back with ``ray.data.read_json``. JSON is
+    lossless for int64-range ids and unicode strings, so pipelines over
+    this source must hash-match the parquet-reading DuckDB oracle —
+    which is exactly what Q:`doc_dedup_exact_jsonl` checks.
+
+    Scale note: JSONL shards stream block-by-block like parquet but
+    carry no column pruning or row-group statistics — ``columns`` here
+    prunes AFTER decode. The parquet path stays the recommended format;
+    this source exists for ingest parity with JSONL-native corpora
+    (Common-Crawl-style dumps).
+    """
+    import shutil
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(cache_root, base)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet")
+        ).write_json(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        with open(marker, "w"):
+            pass
+    ds = ray.data.read_json(
+        out, file_extensions=["json"]
+    )
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -852,3 +852,39 @@ def test_doc_decontaminate_empty_eval_set(ray_session, tmp_path):
     assert (got["n_hits"] == 0).all()
     assert (got["contaminated"] == 0).all()
     assert (got["n_grams"] > 0).all()
+
+
+def test_jsonl_roundtrip_lossless(ray_session):
+    """read_documents_jsonl must reproduce the parquet table exactly
+    (ids AND unicode text) — pins the non-parquet ingest path
+    independently of the dedup aggregation on top of it."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.sources.reader import read_documents_jsonl
+
+    ref = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        read_documents_jsonl(SF, columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (got["text"] == ref["text"]).all()
+
+
+def test_dedup_jsonl_matches_parquet(ray_session):
+    from hinbox_ray.pipelines.textops import (
+        doc_dedup_exact,
+        doc_dedup_exact_jsonl,
+    )
+
+    a = doc_dedup_exact(SF).to_pandas()
+    b = doc_dedup_exact_jsonl(SF).to_pandas()
+    assert a.equals(b)
