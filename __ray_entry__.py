@@ -895,6 +895,139 @@ def _kg_kcore_planted(
     ).sort("subj")
 
 
+def _kg_labelprop_planted(
+    sf_dir: str, min_docs: int = 6, rounds: int = 7
+) -> Any:
+    """Synchronous label-propagation communities over the strong
+    co-mention graph (edges seen in >= ``min_docs`` documents) — the
+    sixth graph consumer of the KG output, and a different kernel
+    family from the others: per-node MODE-ARGMAX over neighbor labels
+    (count per label, max count, min label as the deterministic
+    tie-break) instead of the sum (pagerank/degree) or deletion
+    (k-core) recurrences. Labels start as the node's own name.
+
+    Exactness contract: exactly ``rounds`` synchronous rounds run; the
+    DuckDB oracle unrolls the same recurrence (count → row_number over
+    (c DESC, lbl) → rn=1) as MATERIALIZED CTEs. On the planted graph
+    at min_docs=6 the propagation cascades for 5 rounds (23 singleton
+    labels → 2 communities) and rounds=7 leaves 2 rounds of fixpoint
+    margin; cascade + fixpoint are pinned in tests against an
+    independent synchronous-LPA loop.
+
+    Emits (subj, community) sorted by subj, community = the fixpoint
+    label (an entity name, min-tie-broken so it is a canonical member).
+
+    Scale plan: one round = the canonical edge-cut Pregel step as two
+    bucketed co-groups (scatter each node's label along its out-edges
+    on src-hash, gather the neighbor-label mode on dst-hash); the
+    entity-graph-scale edge table is materialized ONCE up front and
+    re-referenced per round (no per-round barrier needed — the label
+    chain is linear, one consumer per round, so lineage grows linearly
+    and executes as a single 2R-sort plan). Driver state is zero.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["n_docs"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [s["ea"], s["eb"]], ignore_index=True
+                ).astype(object),
+                "dst": pd.concat(
+                    [s["eb"], s["ea"]], ignore_index=True
+                ).astype(object),
+            }
+        )
+
+    edges = (
+        com.map_batches(both_dirs, batch_format="pandas")
+        .repartition(4)
+        .materialize()
+    )
+
+    def seed_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # reset_index: a filtered index would misalign against the
+        # fresh RangeIndex of the placeholder series below
+        g = df[["key"]].drop_duplicates().reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "dst": pd.Series([""] * len(g), dtype=object),
+                "lbl": g["key"].astype(object),
+                "kind": np.ones(len(g), dtype=np.int64),
+            }
+        )
+
+    # per-block distinct -> one co-group dedup gives the node table
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    labels = bucketed_map_groups(
+        edges.map_batches(seed_labels, batch_format="pandas"),
+        "key",
+        first_row,
+        n_buckets=64,
+    ).materialize()  # consumed once per round + once at the end
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "dst": df["dst"].astype(object),
+                "lbl": pd.Series([""] * len(df), dtype=object),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    tagged_edges = edges.map_batches(
+        tag_edge, batch_format="pandas"
+    ).materialize()
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["kind"] == 1, "lbl"].iloc[0]
+        es = g[g["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "key": es["dst"].to_numpy(),
+                "lbl": pd.Series([lbl] * len(es), dtype=object),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("lbl", sort=True).size()
+        new = cnt[cnt == cnt.max()].index.min()
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "dst": pd.Series([""], dtype=object),
+                "lbl": pd.Series([new], dtype=object),
+                "kind": pd.Series([1], dtype=np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        contribs = bucketed_map_groups(
+            labels.union(tagged_edges), "key", scatter, n_buckets=64
+        )
+        labels = bucketed_map_groups(contribs, "key", gather, n_buckets=64)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["key"].astype(object),
+                "community": df["lbl"].astype(object),
+            }
+        )
+
+    return labels.map_batches(finalize, batch_format="pandas").sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -1003,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles_planted": _kg_triangles_planted,
         # k-core via fixed-round peeling (oracle unrolls the rounds)
         "kg_kcore_planted": _kg_kcore_planted,
+        # label-propagation communities (mode-argmax Pregel rounds)
+        "kg_labelprop_planted": _kg_labelprop_planted,
         # exact set-similarity self-join via prefix filtering (AllPairs)
         "doc_jaccard_join": T.doc_jaccard_join,
         # exact per-source length percentiles (quantile_disc semantics)
@@ -1010,7 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
-        # ── 28-37: green in r3, outside r4's sweep window ─────────────
+        # ── 29-38: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1027,7 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 38-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 39-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1053,10 +1188,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairs → connected components → keeper election (recursive-CTE
         # oracle recomputes the clusters from the exact pair set)
         "doc_neardup_clusters": T.doc_neardup_clusters,
-        "doc_simhash_neardup": T.doc_simhash_neardup,
         # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    jaccard-join / percentile / jsonl ops rotated in; still
-        #    CI-checked every run ───────────────────────────────────────
+        #    labelprop / jaccard-join / percentile / jsonl ops rotated
+        #    in; still CI-checked every run ─────────────────────────────
+        "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
         "doc_dup_span_stats": T.doc_dup_span_stats,
@@ -1524,6 +1659,47 @@ def oracle_sql() -> dict[str, str]:
         FROM d0 LEFT JOIN d5 ON d0.node = d5.node ORDER BY subj
     """.replace("{triples}", triples_oracle_sql())
 
+    # synchronous label propagation unrolled round by round
+    # (min_docs=6, rounds=7) — same mode-argmax recurrence as
+    # _kg_labelprop_planted: count neighbor labels, keep the
+    # (count DESC, lbl ASC) winner; MATERIALIZED for the same
+    # inlining-blowup reason as the k-core oracle
+    _lp_rounds = []
+    for _t in range(1, 8):
+        _lp_rounds.append(f"""
+            c{_t} AS MATERIALIZED (
+                SELECT e.dst AS node, l.lbl AS lbl, count(*)::BIGINT AS c
+                FROM e JOIN l{_t - 1} l ON e.src = l.node
+                GROUP BY e.dst, l.lbl
+            ),
+            l{_t} AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, lbl
+                    ) AS rn FROM c{_t}
+                ) WHERE rn = 1
+            )""")
+    _LABELPROP_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({{triples}})
+            WHERE pred = 'mentioned_in'
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb HAVING count(*) >= 6
+        ),
+        e AS MATERIALIZED (
+            SELECT ea AS src, eb AS dst FROM e0
+            UNION ALL SELECT eb, ea FROM e0
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS lbl FROM e
+        ),
+        {','.join(_lp_rounds)}
+        SELECT node AS subj, lbl AS community FROM l7 ORDER BY subj
+    """.replace("{triples}", triples_oracle_sql())
+
     _KNN_EXACT_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -1616,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes LEFT JOIN cnt USING (subj) ORDER BY subj
         """,
         "kg_kcore_planted": _KCORE_SQL,
+        "kg_labelprop_planted": _LABELPROP_SQL,
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100

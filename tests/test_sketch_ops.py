@@ -248,3 +248,46 @@ def test_kcore_matches_peel_to_fixpoint(ray_session):
         assert r.deg_in_core == deg.get(r.subj, 0), (r.subj, r.deg_in_core)
         if r.in_core:
             assert r.deg_in_core >= 4  # k-core degree invariant
+
+
+def test_labelprop_matches_sync_sim(ray_session):
+    """kg_labelprop_planted (7 fixed synchronous rounds) vs an
+    independent synchronous-LPA loop over the SAME strong co-mention
+    edges — pins the mode-argmax tie-break, proves the fixed-round
+    unroll reaches the fixpoint, and that the propagation actually
+    cascades (>= 3 rounds of label changes) into a non-trivial
+    partition (more than one community, fewer than n)."""
+    from collections import Counter, defaultdict
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 6]
+    adj = defaultdict(list)
+    for a, b in zip(strong["ea"], strong["eb"]):
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    lab = {n: n for n in nodes}
+    rounds_changed = 0
+    for _ in range(7):
+        cnt = {
+            v: Counter(lab[u] for u in adj[v]) for v in nodes
+        }
+        new = {
+            v: min(l for l, c in cnt[v].items() if c == max(cnt[v].values()))
+            for v in nodes
+        }
+        if any(new[v] != lab[v] for v in nodes):
+            rounds_changed += 1
+        stable = all(new[v] == lab[v] for v in nodes)
+        lab = new
+    assert rounds_changed >= 3  # the iteration is exercised
+    assert stable  # 7 rounds reach the fixpoint
+
+    got = E._kg_labelprop_planted(SF).to_pandas()
+    assert len(got) == len(nodes)
+    for r in got.itertuples():
+        assert r.community == lab[r.subj], (r.subj, r.community)
+    n_comm = got["community"].nunique()
+    assert 1 < n_comm < len(nodes)  # non-trivial partition
