@@ -895,6 +895,199 @@ def _kg_kcore_planted(
     ).sort("subj")
 
 
+def _kg_linkpred_planted(sf_dir: str, min_docs: int = 4) -> Any:
+    """Common-neighbor link prediction over the strong co-mention
+    graph (edges seen in >= ``min_docs`` documents) — the
+    KG-completion primitive: for every NON-adjacent entity pair with
+    at least one common neighbor, emit the common-neighbor count and
+    the integer-e6 Jaccard of the two neighborhoods,
+    ``jac_e6 = (10^6·cn) // (deg_a + deg_b − cn)`` — the classic
+    missing-edge suggestion score. At min_docs=4 the planted graph
+    yields 142 predicted non-edges out of 244 wedge pairs, so the
+    existing-edge anti-join is genuinely exercised.
+
+    Emits (ea, eb, cn, jac_e6), ea < eb, sorted. The DuckDB oracle
+    re-derives the same scores by an independent wedge self-join +
+    NOT EXISTS anti-join.
+
+    Scale plan: wedge generation is per-node over the FULL neighbor
+    list (unlike the triangle count, the degree-orientation trick
+    does not apply — every common neighbor must witness the pair), so
+    the cost is Σ deg² and hub nodes dominate; at web scale this
+    wants the standard hub cap / neighbor sampling, and the kernel
+    keeps per-node work in one bucketed co-group so such a cap is one
+    line. Counting + the edge anti-join fuse into ONE pair-hash
+    co-group (edge rows are tagged markers); the two degree attaches
+    are node-hash co-groups. Zero driver state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[df["n_docs"] >= min_docs][["ea", "eb"]]
+            .reset_index(drop=True)
+        )
+
+    edges = com.map_batches(strong, batch_format="pandas").materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [df["ea"], df["eb"]], ignore_index=True
+                ).astype(object),
+                "nb": pd.concat(
+                    [df["eb"], df["ea"]], ignore_index=True
+                ).astype(object),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = sorted(g["nb"])
+        lo, hi = [], []
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                lo.append(nb[i])
+                hi.append(nb[j])
+        return pd.DataFrame(
+            {
+                "lo": pd.Series(lo, dtype=object),
+                "hi": pd.Series(hi, dtype=object),
+                "kind": pd.Series(np.zeros(len(lo), dtype=np.int64)),
+            }
+        )
+
+    wed = bucketed_map_groups(adj, "key", wedges)
+
+    def tag_edge_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lo": df["ea"].to_numpy(),
+                "hi": df["eb"].to_numpy(),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    # count common neighbors + anti-join existing edges in ONE co-group
+    def count_nonedge(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["kind"] == 1).any():
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series([], dtype=object),
+                    "hi": pd.Series([], dtype=object),
+                    "cn": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "lo": [g["lo"].iloc[0]],
+                "hi": [g["hi"].iloc[0]],
+                "cn": pd.Series([int(len(g))], dtype=np.int64),
+            }
+        )
+
+    pairs = bucketed_map_groups(
+        wed.union(edges.map_batches(tag_edge_pair, batch_format="pandas")),
+        ["lo", "hi"],
+        count_nonedge,
+    )
+
+    # degree table (same combiner shape as the triangle count)
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.concat([df["ea"], df["eb"]], ignore_index=True)
+        g = (
+            names.to_frame("key")
+            .groupby("key", as_index=False, sort=True)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "deg": g["size"].astype(np.int64),
+            }
+        )
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([int(g["deg"].sum())], dtype=np.int64),
+            }
+        )
+
+    deg = bucketed_map_groups(
+        edges.map_batches(local_deg, batch_format="pandas"), "key", sum_deg
+    )
+
+    # attach deg of lo, then of hi: tagged unions on node-hash keys
+    def pair_keyed(df: pd.DataFrame, key_col: str, other_col: str):
+        return pd.DataFrame(
+            {
+                "key": df[key_col].to_numpy(),
+                "other": df[other_col].to_numpy(),
+                "cn": df["cn"].to_numpy(dtype=np.int64),
+                "deg": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].to_numpy(),
+                "other": pd.Series([""] * len(df), dtype=object),
+                "cn": np.zeros(len(df), dtype=np.int64),
+                "deg": df["deg"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def attach_lo(g: pd.DataFrame) -> pd.DataFrame:
+        d = int(g.loc[g["deg"] >= 0, "deg"].iloc[0])
+        ps = g[g["deg"] < 0]
+        return pd.DataFrame(
+            {
+                "key": ps["other"].to_numpy(),  # re-key on hi
+                "other": ps["key"].to_numpy(),
+                "cn": ps["cn"].to_numpy(dtype=np.int64),
+                "deg": np.full(len(ps), -(d + 2), dtype=np.int64),  # < -1 tag
+            }
+        )
+
+    with_da = bucketed_map_groups(
+        pairs.map_batches(
+            lambda df: pair_keyed(df, "lo", "hi"), batch_format="pandas"
+        ).union(deg.map_batches(tag_deg, batch_format="pandas")),
+        "key",
+        attach_lo,
+    )
+
+    def attach_hi(g: pd.DataFrame) -> pd.DataFrame:
+        d_hi = int(g.loc[g["deg"] >= 0, "deg"].iloc[0])
+        ps = g[g["deg"] < -1]
+        cn = ps["cn"].to_numpy(dtype=np.int64)
+        d_lo = (-ps["deg"].to_numpy(dtype=np.int64)) - 2
+        return pd.DataFrame(
+            {
+                "ea": ps["other"].to_numpy(),
+                "eb": ps["key"].to_numpy(),
+                "cn": cn,
+                "jac_e6": (10**6 * cn) // (d_lo + d_hi - cn),
+            }
+        )
+
+    return bucketed_map_groups(
+        with_da.union(deg.map_batches(tag_deg, batch_format="pandas")),
+        "key",
+        attach_hi,
+    ).sort(["ea", "eb"])
+
+
 def _kg_labelprop_planted(
     sf_dir: str, min_docs: int = 6, rounds: int = 7
 ) -> Any:
@@ -1138,6 +1331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore_planted": _kg_kcore_planted,
         # label-propagation communities (mode-argmax Pregel rounds)
         "kg_labelprop_planted": _kg_labelprop_planted,
+        # common-neighbor link prediction (wedges + edge anti-join)
+        "kg_linkpred_planted": _kg_linkpred_planted,
+        # dense hourly resample with zero-fill (row densification)
+        "events_hourly_gapfill": A.events_hourly_gapfill,
         # exact set-similarity self-join via prefix filtering (AllPairs)
         "doc_jaccard_join": T.doc_jaccard_join,
         # exact per-source length percentiles (quantile_disc semantics)
@@ -1145,7 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
-        # ── 29-38: green in r3, outside r4's sweep window ─────────────
+        # ── 32-40: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1162,7 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 39-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 41-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1181,6 +1378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-domain quality cap (block-combiner top-k, no wide shuffle)
         "doc_topk_per_source": T.doc_topk_per_source,
         "doc_fingerprint": T.doc_fingerprint,
+        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
+        #    labelprop / linkpred / gapfill / jaccard-join / percentile /
+        #    jsonl ops rotated in; still CI-checked every run ───────────
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
         # vectors exactly — oracle-backed since round 4
@@ -1188,9 +1388,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairs → connected components → keeper election (recursive-CTE
         # oracle recomputes the clusters from the exact pair set)
         "doc_neardup_clusters": T.doc_neardup_clusters,
-        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    labelprop / jaccard-join / percentile / jsonl ops rotated
-        #    in; still CI-checked every run ─────────────────────────────
         "doc_simhash_neardup": T.doc_simhash_neardup,
         "doc_chunk_dedup": T.doc_chunk_dedup,
         # stride-1 exact duplicated-span share (Lee et al. 2021 shape)
@@ -1700,6 +1897,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS subj, lbl AS community FROM l7 ORDER BY subj
     """.replace("{triples}", triples_oracle_sql())
 
+    # common-neighbor link prediction: independent wedge self-join +
+    # NOT EXISTS anti-join; jac_e6 floor-divides so both engines agree
+    _LINKPRED_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({{triples}})
+            WHERE pred = 'mentioned_in'
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb HAVING count(*) >= 4
+        ),
+        e AS MATERIALIZED (
+            SELECT ea AS src, eb AS dst FROM e0
+            UNION ALL SELECT eb, ea FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src
+        ),
+        cnt AS MATERIALIZED (
+            SELECT e1.dst AS a, e2.dst AS b, count(*)::BIGINT AS cn
+            FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY a, b
+        )
+        SELECT a AS ea, b AS eb, cn,
+               ((1000000 * cn) // (da.deg + db.deg - cn))::BIGINT AS jac_e6
+        FROM cnt
+        JOIN deg da ON da.node = a
+        JOIN deg db ON db.node = b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e0 WHERE e0.ea = a AND e0.eb = b
+        )
+        ORDER BY ea, eb
+    """.replace("{triples}", triples_oracle_sql())
+
     _KNN_EXACT_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -1793,6 +2025,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore_planted": _KCORE_SQL,
         "kg_labelprop_planted": _LABELPROP_SQL,
+        "kg_linkpred_planted": _LINKPRED_SQL,
+        "events_hourly_gapfill": """
+            WITH c AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY event_type, h
+            ),
+            r AS (
+                SELECT event_type AS et,
+                       unnest(generate_series(min(h), max(h),
+                                              INTERVAL 1 HOUR)) AS h
+                FROM c GROUP BY event_type
+            )
+            SELECT r.et AS event_type,
+                   strftime(r.h, '%Y-%m-%d %H:00:00') AS hour,
+                   coalesce(c.n, 0)::BIGINT AS n_events
+            FROM r LEFT JOIN c ON r.et = c.event_type AND r.h = c.h
+            ORDER BY event_type, hour
+        """,
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100

@@ -1171,6 +1171,79 @@ def orders_price_quantiles(
     )
 
 
+def events_hourly_gapfill(sf_dir: str) -> ray.data.Dataset:
+    """Dense per-type hourly counts with zero-fill — the resample /
+    dimension-densification operator (the one shape that GENERATES
+    rows: every hour in [min(ts), max(ts)] of a type appears, gaps as
+    n_events = 0). The monitoring/seasonality consumer of the events
+    stream; 215 of 3600 output rows are zero-fills at sf0.01, so the
+    densification is non-vacuous.
+
+    Scale plan: a per-block (event_type, epoch_hour) → count combiner
+    thins the corpus to hour-vocabulary scale before ONE type-hash
+    co-group merges counts and densifies with a bincount over the
+    type's own hour range — the dense range is (max−min) hours,
+    calendar-scale, never corpus-scale; no driver state. Hour strings
+    are formatted inside the kernel so both engines compare plain
+    strings (the events_daily convention).
+    """
+    import numpy as np
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    US_PER_HOUR = 3_600_000_000
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        eh = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_HOUR
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "eh": eh.astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "eh"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("eh", sort=True)["n"].sum()
+        lo, hi = int(m.index.min()), int(m.index.max())
+        hours = np.arange(lo, hi + 1, dtype=np.int64)
+        n = np.zeros(len(hours), dtype=np.int64)
+        n[m.index.to_numpy(dtype=np.int64) - lo] = m.to_numpy(
+            dtype=np.int64
+        )
+        hour_str = pd.to_datetime(hours * 3600, unit="s").strftime(
+            "%Y-%m-%d %H:00:00"
+        )
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(
+                    [g["event_type"].iloc[0]] * len(hours), dtype=object
+                ),
+                "hour": pd.Series(hour_str, dtype=object),
+                "n_events": pd.Series(n, dtype=np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return bucketed_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        "event_type",
+        densify,
+    ).sort(["event_type", "hour"])
+
+
 def events_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(event_type, day): per-(type, day) counts plus
     per-type subtotals (day = -1) and a grand total (type = 'ALL').

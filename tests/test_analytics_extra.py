@@ -108,3 +108,33 @@ def test_quantile_disc_convention(ray_session, tmp_path):
             f"FROM '{tmp_path}/orders.parquet'"
         ).fetchone()[0]
         assert mine[int(q * 100)] == want, (q, mine[int(q * 100)], want)
+
+
+def test_hourly_gapfill_dense_and_exact(ray_session):
+    """events_hourly_gapfill: every type covers its full hour range
+    with NO missing hours, zero-fills are present (the densification
+    is non-vacuous), and the non-zero counts match a pandas resample."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.analytics import events_hourly_gapfill
+
+    SF = "/root/testdata/sf0.001"
+    got = events_hourly_gapfill(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["hour"] = ev["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+    truth = ev.groupby(["event_type", "hour"]).size()
+    assert (got["n_events"] == 0).any()  # gaps actually filled
+    for et, grp in got.groupby("event_type"):
+        hours = pd.to_datetime(grp["hour"])
+        # dense: consecutive hours, no holes
+        assert (hours.diff().dropna() == pd.Timedelta(hours=1)).all()
+        sub = ev[ev["event_type"] == et]
+        assert hours.min() == sub["ts"].min().floor("h")
+        assert hours.max() == sub["ts"].max().floor("h")
+    for r in got.itertuples():
+        assert r.n_events == truth.get((r.event_type, r.hour), 0)
+    assert int(got["n_events"].sum()) == len(ev)  # mass conserved

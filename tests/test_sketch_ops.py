@@ -291,3 +291,37 @@ def test_labelprop_matches_sync_sim(ray_session):
         assert r.community == lab[r.subj], (r.subj, r.community)
     n_comm = got["community"].nunique()
     assert 1 < n_comm < len(nodes)  # non-trivial partition
+
+
+def test_linkpred_matches_bruteforce(ray_session):
+    """kg_linkpred_planted vs a driver-side brute-force: common
+    neighbors of every non-adjacent pair over the SAME strong edges —
+    independent of both the Ray wedge plumbing and the SQL self-join."""
+    from collections import defaultdict
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 4]
+    edges = set(zip(strong["ea"], strong["eb"]))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    truth = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                jac = (10**6 * cn) // (len(adj[a]) + len(adj[b]) - cn)
+                truth[(a, b)] = (cn, jac)
+
+    got = E._kg_linkpred_planted(SF).to_pandas()
+    assert len(got) == len(truth) > 0
+    for r in got.itertuples():
+        assert (r.cn, r.jac_e6) == truth[(r.ea, r.eb)], (r.ea, r.eb)
+    # the anti-join is exercised: some wedge pairs ARE existing edges
+    assert any(len(adj[a] & adj[b]) > 0 for a, b in edges)
