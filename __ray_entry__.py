@@ -1335,6 +1335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linkpred_planted": _kg_linkpred_planted,
         # dense hourly resample with zero-fill (row densification)
         "events_hourly_gapfill": A.events_hourly_gapfill,
+        # long→wide pivot via conditional aggregation
+        "events_daily_pivot": A.events_daily_pivot,
+        # per-user LAG window: inter-arrival deltas
+        "events_interarrival": A.events_interarrival,
         # exact set-similarity self-join via prefix filtering (AllPairs)
         "doc_jaccard_join": T.doc_jaccard_join,
         # exact per-source length percentiles (quantile_disc semantics)
@@ -1342,7 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
-        # ── 32-40: green in r3, outside r4's sweep window ─────────────
+        # ── 34-42: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1359,7 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 41-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 43-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1375,12 +1379,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_surprise": T.doc_lm_surprise,
         # temperature-based source mixing (sqrt-share downsampling)
         "doc_sample_temperature": T.doc_sample_temperature,
+        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
+        #    labelprop / linkpred / gapfill / pivot / lag / jaccard-join /
+        #    percentile / jsonl ops rotated in; still CI-checked ────────
         # per-domain quality cap (block-combiner top-k, no wide shuffle)
         "doc_topk_per_source": T.doc_topk_per_source,
         "doc_fingerprint": T.doc_fingerprint,
-        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    labelprop / linkpred / gapfill / jaccard-join / percentile /
-        #    jsonl ops rotated in; still CI-checked every run ───────────
         # scalar projections for the driver: a list<float> column can't
         # be value-hashed; (l2norm_e6, l2sq, wsum) pin the md5-count
         # vectors exactly — oracle-backed since round 4
@@ -2026,6 +2030,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore_planted": _KCORE_SQL,
         "kg_labelprop_planted": _LABELPROP_SQL,
         "kg_linkpred_planted": _LINKPRED_SQL,
+        "events_daily_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "events_interarrival": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), -1)::BIGINT AS delta_us
+            FROM events ORDER BY event_id
+        """,
         "events_hourly_gapfill": """
             WITH c AS (
                 SELECT event_type, date_trunc('hour', ts) AS h,

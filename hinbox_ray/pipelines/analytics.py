@@ -1171,6 +1171,82 @@ def orders_price_quantiles(
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Long→wide PIVOT: one row per day with a count column per event
+    type (n_click … n_view) — the reshape operator (the inverse of a
+    rollup). The type vocabulary is fixed and declared (EVENT_TYPES),
+    as a distributed pivot must be: dynamic output columns would need
+    a driver-side vocabulary pass first.
+
+    Scale plan: each batch maps to day + five 0/1 indicator columns
+    and Ray's ``groupby(day).aggregate(Sum×5)`` does the map-side
+    partial combine, so the shuffle carries days × 6 integers — the
+    standard conditional-aggregation pivot, no co-group needed.
+    """
+    import numpy as np
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"day": day}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(
+                (et == t).astype(np.int64), type=pa.int64()
+            )
+        return pa.table(cols)
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+        )
+        .sort("day")
+    )
+
+
+def events_interarrival(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-arrival deltas — the LAG window function: for
+    every event, microseconds since the same user's previous event
+    ((ts, event_id) ordering so ties are deterministic), −1 for the
+    user's first event (both engines need a non-NULL integer to hash).
+
+    Scale plan: one user-hash bucketed co-group; the kernel argsorts
+    the user's events and vectorizes the delta with np.diff — the
+    same per-key searchsorted-kernel family as sessionize/as-of, no
+    global sort, no driver state.
+    """
+    import numpy as np
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        d = np.empty(len(ts), dtype=np.int64)
+        d[0] = -1
+        if len(ts) > 1:
+            d[1:] = np.diff(ts)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.full(
+                    len(eid), int(g["user_id"].iloc[0]), dtype=np.int64
+                ),
+                "delta_us": d,
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return bucketed_map_groups(ds, "user_id", deltas).sort("event_id")
+
+
 def events_hourly_gapfill(sf_dir: str) -> ray.data.Dataset:
     """Dense per-type hourly counts with zero-fill — the resample /
     dimension-densification operator (the one shape that GENERATES

@@ -138,3 +138,50 @@ def test_hourly_gapfill_dense_and_exact(ray_session):
     for r in got.itertuples():
         assert r.n_events == truth.get((r.event_type, r.hour), 0)
     assert int(got["n_events"].sum()) == len(ev)  # mass conserved
+
+
+def test_daily_pivot_matches_crosstab(ray_session):
+    """events_daily_pivot vs a pandas crosstab — wide counts per day."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.analytics import EVENT_TYPES, events_daily_pivot
+
+    SF = "/root/testdata/sf0.001"
+    got = events_daily_pivot(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    ct = pd.crosstab(ev["day"], ev["event_type"])
+    assert len(got) == ct.shape[0]
+    assert sorted(EVENT_TYPES) == sorted(ct.columns)
+    got = got.set_index("day")
+    for t in EVENT_TYPES:
+        assert (got[f"n_{t}"] == ct[t].reindex(got.index).fillna(0)).all()
+    assert int(got.to_numpy().sum()) == len(ev)  # mass conserved
+
+
+def test_interarrival_matches_pandas_lag(ray_session):
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.analytics import events_interarrival
+
+    SF = "/root/testdata/sf0.001"
+    got = events_interarrival(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    # integer microseconds end to end — a float total_seconds() loses
+    # a µs on ~1e10-µs deltas
+    assert str(ev["ts"].dtype) == "datetime64[us]"
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["delta"] = (
+        ev.groupby("user_id")["ts_us"].diff().fillna(-1).astype("int64")
+    )
+    truth = dict(zip(ev["event_id"], ev["delta"]))
+    assert len(got) == len(ev)
+    assert (got["delta_us"] == -1).sum() == ev["user_id"].nunique()
+    for r in got.itertuples():
+        assert r.delta_us == truth[r.event_id], r.event_id
