@@ -1088,6 +1088,172 @@ def _kg_linkpred_planted(sf_dir: str, min_docs: int = 4) -> Any:
     ).sort(["ea", "eb"])
 
 
+def _kg_bfs_depth_planted(
+    sf_dir: str, min_docs: int = 6, rounds: int = 7
+) -> Any:
+    """BFS shortest-path depths from the lexicographically smallest
+    node of the strong co-mention graph (edges in >= ``min_docs``
+    documents) — the DISTANCE primitive, eighth graph consumer, and a
+    third Pregel kernel family: monotone min-frontier expansion
+    (vs the sum, deletion and mode-argmax recurrences).
+
+    Exactness contract: exactly ``rounds`` frontier rounds run; the
+    DuckDB oracle re-derives depths with a depth-bounded recursive CTE
+    + min(d) — equivalent whenever rounds >= eccentricity, which holds
+    with margin (planted eccentricity 5 at min_docs=6, depths spread
+    0–5 so the propagation cascades through every round; rounds=7).
+    Unreached nodes emit depth −1 (none on the planted graph — the
+    branch exists for disconnected inputs).
+
+    Emits (subj, depth) for every strong-graph node, sorted by subj.
+
+    Scale plan: one round = one Pregel superstep as two bucketed
+    co-groups: scatter on src-hash emits depth+1 candidates along
+    out-edges AND passes the src's own depth row through (so the depth
+    table has ONE consumer per round — no per-round barrier, the whole
+    recurrence is a single linear plan, the labelprop lesson); gather
+    on dst-hash keeps min(existing, candidates). Driver state is two
+    scalars (the source name, found via Dataset.min over the
+    node-vocabulary-scale table).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[df["n_docs"] >= min_docs][["ea", "eb"]]
+            .reset_index(drop=True)
+        )
+
+    edges_ud = com.map_batches(strong, batch_format="pandas").materialize()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [df["ea"], df["eb"]], ignore_index=True
+                ).astype(object),
+                "dst": pd.concat(
+                    [df["eb"], df["ea"]], ignore_index=True
+                ).astype(object),
+                "depth": np.full(2 * len(df), -1, dtype=np.int64),
+                "kind": np.zeros(2 * len(df), dtype=np.int64),
+            }
+        )
+
+    edges = edges_ud.map_batches(
+        both_dirs, batch_format="pandas"
+    ).materialize()
+
+    # node table (for the final -1 attach) + the BFS source
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["key"]].drop_duplicates().reset_index(drop=True)
+        return g
+
+    nodes = bucketed_map_groups(
+        edges.map_batches(node_rows, batch_format="pandas"),
+        "key",
+        lambda g: g.iloc[:1],
+        n_buckets=64,
+    ).materialize()
+
+    # source = min node name: per-block min, then a blocks-scale
+    # driver reduce (never collects the node table itself)
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"key": pd.Series([], dtype=object)})
+        return pd.DataFrame({"key": pd.Series([df["key"].min()], dtype=object)})
+
+    source = (
+        nodes.map_batches(block_min, batch_format="pandas")
+        .to_pandas()["key"]
+        .min()
+    )
+
+    depth0 = pd.DataFrame(
+        {
+            "key": pd.Series([source], dtype=object),
+            "dst": pd.Series([""], dtype=object),
+            "depth": pd.Series([0], dtype=np.int64),
+            "kind": pd.Series([1], dtype=np.int64),
+        }
+    )
+    depth = ray.data.from_pandas(depth0)
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        found = g[g["kind"] == 1]
+        if not len(found):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=object),
+                    "dst": pd.Series([], dtype=object),
+                    "depth": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int64),
+                }
+            )
+        d = int(found["depth"].iloc[0])
+        es = g[g["kind"] == 0]
+        out = pd.DataFrame(
+            {
+                "key": es["dst"].to_numpy(),
+                "dst": pd.Series([""] * len(es), dtype=object),
+                "depth": np.full(len(es), d + 1, dtype=np.int64),
+                "kind": np.ones(len(es), dtype=np.int64),
+            }
+        )
+        return pd.concat([found, out], ignore_index=True)
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "dst": pd.Series([""], dtype=object),
+                "depth": pd.Series(
+                    [int(g["depth"].min())], dtype=np.int64
+                ),
+                "kind": pd.Series([1], dtype=np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        cand = bucketed_map_groups(
+            depth.union(edges), "key", scatter, n_buckets=64
+        )
+        depth = bucketed_map_groups(cand, "key", gather, n_buckets=64)
+
+    def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].to_numpy(),
+                "dst": pd.Series([""] * len(df), dtype=object),
+                "depth": np.full(len(df), -1, dtype=np.int64),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        found = g[g["kind"] == 1]
+        d = int(found["depth"].iloc[0]) if len(found) else -1
+        return pd.DataFrame(
+            {
+                "subj": [g["key"].iloc[0]],
+                "depth": pd.Series([d], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        nodes.map_batches(tag_node, batch_format="pandas").union(depth),
+        "key",
+        finalize,
+        n_buckets=64,
+    ).sort("subj")
+
+
 def _kg_labelprop_planted(
     sf_dir: str, min_docs: int = 6, rounds: int = 7
 ) -> Any:
@@ -1333,6 +1499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop_planted": _kg_labelprop_planted,
         # common-neighbor link prediction (wedges + edge anti-join)
         "kg_linkpred_planted": _kg_linkpred_planted,
+        # BFS depths from the min node (min-frontier Pregel rounds)
+        "kg_bfs_depth_planted": _kg_bfs_depth_planted,
         # dense hourly resample with zero-fill (row densification)
         "events_hourly_gapfill": A.events_hourly_gapfill,
         # long→wide pivot via conditional aggregation
@@ -1346,7 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
-        # ── 34-42: green in r3, outside r4's sweep window ─────────────
+        # ── 35-43: green in r3, outside r4's sweep window ─────────────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1363,7 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 43-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── 44-50: green once (r4) — stay until 2 consecutive greens ──
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1377,11 +1545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_top_terms": T.doc_cluster_top_terms,
         # corpus-trained bigram-LM surprise (CCNet perplexity shape)
         "doc_lm_surprise": T.doc_lm_surprise,
+        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
+        #    labelprop / linkpred / bfs / gapfill / pivot / lag /
+        #    jaccard-join / percentile / jsonl ops rotated in; still
+        #    CI-checked every run ───────────────────────────────────────
         # temperature-based source mixing (sqrt-share downsampling)
         "doc_sample_temperature": T.doc_sample_temperature,
-        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    labelprop / linkpred / gapfill / pivot / lag / jaccard-join /
-        #    percentile / jsonl ops rotated in; still CI-checked ────────
         # per-domain quality cap (block-combiner top-k, no wide shuffle)
         "doc_topk_per_source": T.doc_topk_per_source,
         "doc_fingerprint": T.doc_fingerprint,
@@ -2030,6 +2199,38 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore_planted": _KCORE_SQL,
         "kg_labelprop_planted": _LABELPROP_SQL,
         "kg_linkpred_planted": _LINKPRED_SQL,
+        # BFS depths: depth-bounded recursive closure + min(d) agrees
+        # with the fixed-round frontier expansion whenever rounds >=
+        # eccentricity (planted ecc 5, rounds 7)
+        "kg_bfs_depth_planted": f"""
+            WITH RECURSIVE m AS (
+                SELECT subj, obj AS url FROM ({{triples}})
+                WHERE pred = 'mentioned_in'
+            ),
+            e0 AS (
+                SELECT a.subj AS ea, b.subj AS eb
+                FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+                GROUP BY ea, eb HAVING count(*) >= 6
+            ),
+            e AS (
+                SELECT ea AS src, eb AS dst FROM e0
+                UNION ALL SELECT eb, ea FROM e0
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            reach(node, d) AS (
+                SELECT (SELECT min(node) FROM nodes), 0
+                UNION
+                SELECT e.dst, reach.d + 1
+                FROM e JOIN reach ON e.src = reach.node
+                WHERE reach.d < 7
+            ),
+            best AS (
+                SELECT node, min(d)::BIGINT AS d FROM reach GROUP BY node
+            )
+            SELECT n.node AS subj, coalesce(b.d, -1)::BIGINT AS depth
+            FROM nodes n LEFT JOIN best b ON n.node = b.node
+            ORDER BY subj
+        """.replace("{triples}", triples_oracle_sql()),
         "events_daily_pivot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,

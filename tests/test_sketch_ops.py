@@ -325,3 +325,37 @@ def test_linkpred_matches_bruteforce(ray_session):
         assert (r.cn, r.jac_e6) == truth[(r.ea, r.eb)], (r.ea, r.eb)
     # the anti-join is exercised: some wedge pairs ARE existing edges
     assert any(len(adj[a] & adj[b]) > 0 for a, b in edges)
+
+
+def test_bfs_depth_matches_python_bfs(ray_session):
+    """kg_bfs_depth_planted (7 fixed min-frontier rounds) vs a plain
+    queue BFS over the SAME strong edges — pins the depths, proves
+    rounds >= eccentricity (with the cascade actually deep: ecc >= 3),
+    and that the source is the lexicographic min node."""
+    from collections import defaultdict, deque
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 6]
+    adj = defaultdict(set)
+    for a, b in zip(strong["ea"], strong["eb"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    src = min(adj)
+    depth = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    ecc = max(depth.values())
+    assert 3 <= ecc <= 7  # deep cascade, within the fixed rounds
+
+    got = E._kg_bfs_depth_planted(SF).to_pandas()
+    assert len(got) == len(adj)
+    for r in got.itertuples():
+        assert r.depth == depth.get(r.subj, -1), (r.subj, r.depth)
+    assert int(got.loc[got["subj"] == src, "depth"].iloc[0]) == 0
