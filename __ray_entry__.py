@@ -1387,6 +1387,150 @@ def _kg_labelprop_planted(
     return labels.map_batches(finalize, batch_format="pandas").sort("subj")
 
 
+def _kg_hostgraph_planted(sf_dir: str) -> Any:
+    """Host-level hyperlink graph over the md5-planted linked corpus —
+    the Common-Crawl web-graph primitive (host-to-host edge weights
+    drive crawl-frontier ranking, host-authority features and
+    entity-page discovery). The Ray side does the REAL work: tokenize
+    every page's anchor bytes with the stdlib HTML tokenizer
+    (``functions/links.py`` — attribute quoting and ``&amp;`` entity
+    decoding are exercised on every href), normalize each target to its
+    host, and aggregate (src_host, dst_host) edge weights. The DuckDB
+    oracle never parses HTML: it re-derives each page's outlink targets
+    from the md5 plant plan (``sources/planted.py:hostgraph_oracle_sql``),
+    so a missed anchor, a broken entity decode or a bad host parse
+    changes the value hash.
+
+    Scale plan: anchors per page are bounded (≤3 here; a real crawl
+    caps outlinks per page), the per-block Counter thins the edge
+    stream to the block's distinct host pairs before the shuffle, and
+    the exchange carries (host, host, int64) rows on a pair-hash bucket
+    key — host-vocabulary scale, not corpus scale. No driver state.
+    """
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.functions.links import extract_hrefs, url_host
+    from hinbox_ray.sources.planted import linked_pages_dataset
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    def edges_local(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: collections.Counter = collections.Counter()
+        for src_url, html in zip(df["url"], df["html"]):
+            src = url_host(src_url)
+            if src is None:
+                continue
+            for href in extract_hrefs(html):
+                dst = url_host(href)
+                if dst is not None:
+                    cnt[(src, dst)] += 1
+        items = sorted(cnt.items())
+        return pd.DataFrame(
+            {
+                "src_host": pd.Series([k[0] for k, _ in items], dtype=object),
+                "dst_host": pd.Series([k[1] for k, _ in items], dtype=object),
+                "n_links": pd.Series([v for _, v in items], dtype=np.int64),
+            }
+        )
+
+    def sum_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_host": [g["src_host"].iloc[0]],
+                "dst_host": [g["dst_host"].iloc[0]],
+                "n_links": pd.Series([int(g["n_links"].sum())], dtype=np.int64),
+            }
+        )
+
+    local = linked_pages_dataset(sf_dir).map_batches(
+        edges_local, batch_format="pandas"
+    )
+    return bucketed_map_groups(local, ["src_host", "dst_host"], sum_pair).sort(
+        ["src_host", "dst_host"]
+    )
+
+
+def _kg_clustcoef_planted(sf_dir: str, min_docs: int = 4) -> Any:
+    """Local clustering coefficient of every strong co-mention node —
+    the per-node cohesion feature (how close a node's neighborhood is
+    to a clique), integer-e6: ``cc_e6 = (2e6 * n_triangles) //
+    (deg * (deg - 1))``, 0 when deg < 2. Composes the degree-oriented
+    triangle counts (``_kg_triangles_planted``) with a fresh
+    strong-graph degree pass via one node-hash co-group (deg rows carry
+    kind=0, triangle rows kind=1; every strong node has exactly one of
+    each, since the triangle op emits zeros for triangle-free nodes).
+    The DuckDB oracle recomputes triangles via an independent three-way
+    self-join and the coefficient with the same floor arithmetic.
+
+    Scale plan: inherits the O(m^1.5) wedge bound of the triangle
+    kernel; the degree pass and the final attach are node-hash bucketed
+    co-groups; driver state is zero.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[df["n_docs"] >= min_docs][["ea", "eb"]]
+            .reset_index(drop=True)
+        )
+
+    edges = com.map_batches(strong, batch_format="pandas")
+
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.concat([df["ea"], df["eb"]], ignore_index=True)
+        g = (
+            names.to_frame("subj")
+            .groupby("subj", as_index=False, sort=True)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "subj": g["subj"].astype(object),
+                "val": g["size"].astype(np.int64),
+                "kind": np.zeros(len(g), dtype=np.int64),
+            }
+        )
+
+    def tri_tagged(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": df["subj"].to_numpy(),
+                "val": df["n_triangles"].to_numpy(dtype=np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    tri = _kg_triangles_planted(sf_dir, min_docs)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        deg = int(g.loc[g["kind"] == 0, "val"].sum())
+        ntri = int(g.loc[g["kind"] == 1, "val"].sum())
+        cc = (2_000_000 * ntri) // (deg * (deg - 1)) if deg >= 2 else 0
+        return pd.DataFrame(
+            {
+                "subj": [g["subj"].iloc[0]],
+                "deg": pd.Series([deg], dtype=np.int64),
+                "n_triangles": pd.Series([ntri], dtype=np.int64),
+                "clustcoef_e6": pd.Series([cc], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        edges.map_batches(local_deg, batch_format="pandas").union(
+            tri.map_batches(tri_tagged, batch_format="pandas")
+        ),
+        "subj",
+        combine,
+    ).sort("subj")
+
+
 def _pages_extract_text(sf_dir: str) -> Any:
     """html→text over the synthetic pages corpus; returns (url, sha256 of
     extracted text). Byte-identity vs the reference bs4 semantics is
@@ -1501,6 +1645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linkpred_planted": _kg_linkpred_planted,
         # BFS depths from the min node (min-frontier Pregel rounds)
         "kg_bfs_depth_planted": _kg_bfs_depth_planted,
+        # host-level hyperlink graph: REAL anchor tokenization on the
+        # Ray side, md5 plant plan re-derived by the oracle
+        "kg_hostgraph_planted": _kg_hostgraph_planted,
+        # per-node local clustering coefficient (integer e6)
+        "kg_clustcoef_planted": _kg_clustcoef_planted,
         # dense hourly resample with zero-fill (row densification)
         "events_hourly_gapfill": A.events_hourly_gapfill,
         # long→wide pivot via conditional aggregation
@@ -1934,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
     from hinbox_ray.sources.planted import (
         entities_oracle_sql,
         grounding_oracle_sql,
+        hostgraph_oracle_sql,
         profiles_oracle_sql,
         triples_oracle_sql,
         verdicts_oracle_sql,
@@ -2197,6 +2347,48 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes LEFT JOIN cnt USING (subj) ORDER BY subj
         """,
         "kg_kcore_planted": _KCORE_SQL,
+        # host-level link graph: targets re-derived from the md5 plant
+        # plan — the SQL side never parses HTML (independent truth)
+        "kg_hostgraph_planted": hostgraph_oracle_sql(),
+        # clustering coefficient: independent 3-way-join triangles +
+        # degree + the same floor arithmetic
+        "kg_clustcoef_planted": f"""
+            WITH m AS (
+                SELECT subj, obj AS url FROM ({triples_oracle_sql()})
+                WHERE pred = 'mentioned_in'
+            ),
+            com AS (
+                SELECT a.subj AS ea, b.subj AS eb
+                FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+                GROUP BY ea, eb HAVING count(*) >= 4
+            ),
+            tri AS (
+                SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+                FROM com e1
+                JOIN com e2 ON e1.ea = e2.ea AND e1.eb < e2.eb
+                JOIN com e3 ON e3.ea = e1.eb AND e3.eb = e2.eb
+            ),
+            deg AS (
+                SELECT node AS subj, count(*)::BIGINT AS deg FROM (
+                    SELECT ea AS node FROM com
+                    UNION ALL SELECT eb FROM com
+                ) GROUP BY node
+            ),
+            cnt AS (
+                SELECT subj, count(*)::BIGINT AS n FROM (
+                    SELECT a AS subj FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY subj
+            )
+            SELECT deg.subj, deg.deg,
+                   coalesce(cnt.n, 0)::BIGINT AS n_triangles,
+                   (CASE WHEN deg.deg >= 2
+                         THEN (2000000 * coalesce(cnt.n, 0))
+                              // (deg.deg * (deg.deg - 1))
+                         ELSE 0 END)::BIGINT AS clustcoef_e6
+            FROM deg LEFT JOIN cnt USING (subj) ORDER BY subj
+        """,
         "kg_labelprop_planted": _LABELPROP_SQL,
         "kg_linkpred_planted": _LINKPRED_SQL,
         # BFS depths: depth-bounded recursive closure + min(d) agrees

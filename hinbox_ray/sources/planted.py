@@ -748,3 +748,104 @@ def entities_oracle_sql() -> str:
     FROM agg a JOIN clus2 c USING (cluster)
     ORDER BY entity_id
     """
+
+
+# ──────────────────────────────────────────────
+# Planted hyperlink corpus (host-level web graph)
+# ──────────────────────────────────────────────
+
+_N_HOSTS = 101  # prime, so doc_id % _N_HOSTS spreads evenly
+
+
+def linked_page_url(doc_id: int) -> str:
+    """Absolute URL of a linked-corpus page (host = doc_id mod 101)."""
+    return f"http://h{doc_id % _N_HOSTS}.example/p/{doc_id:08d}"
+
+
+def link_targets(doc_id: int, n_docs: int) -> List[int]:
+    """The md5-planted outlink targets of a doc: 1–3 links, each aimed
+    at ``md5('link:doc:j') % n_docs``. Self-links and repeat targets
+    are possible by construction — the host-graph op must count them
+    faithfully (edge weight = raw anchor count)."""
+    k = 1 + md5_lower64(f"nl:{doc_id}") % 3
+    return [md5_lower64(f"link:{doc_id}:{j}") % n_docs for j in range(k)]
+
+
+def linked_pages_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
+    """documents(doc_id) batch → (url, html) batch whose body carries
+    the planted sentences plus a ``<nav>`` of md5-planted anchors. The
+    anchors live OUTSIDE ``<article>`` so the text-extraction invariant
+    of the planted corpus is untouched; anchor hrefs embed a
+    ``&amp;``-escaped query parameter so the tokenizer's entity
+    decoding is exercised on every page."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    urls, htmls = [], []
+    for d in doc_ids:
+        d = int(d)
+        anchors = "".join(
+            f'<a href="{linked_page_url(t)}?src={d}&amp;slot={j}">'
+            f"ref {j}</a>"
+            for j, t in enumerate(link_targets(d, n_docs))
+        )
+        urls.append(linked_page_url(d))
+        htmls.append(
+            f"<html><head><title>t{d}</title></head><body>"
+            f"<article><p>{planted_text(d)}</p></article>"
+            f"<nav>{anchors}</nav></body></html>".encode("utf-8")
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "html": pa.array(htmls, type=pa.binary()),
+        }
+    )
+
+
+def linked_pages_dataset(sf_dir: str):
+    """Pruned documents read → deterministic linked-pages Dataset.
+
+    ``n_docs`` comes from parquet metadata (``count()`` never scans
+    data), and is closed over by the batch fn — NOT re-counted per
+    batch."""
+    from functools import partial
+
+    from .reader import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    )
+    n_docs = ds.count()
+    return ds.map_batches(
+        partial(linked_pages_batch, n_docs=n_docs), batch_format="pyarrow"
+    )
+
+
+def hostgraph_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_hostgraph_planted``: re-derive every page's
+    outlink targets from the md5 plant plan (no HTML parsing — the SQL
+    side is the independent ground truth; the Ray side must recover the
+    same edges from the actual anchor bytes) and aggregate to the
+    host-level graph."""
+    return f"""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    k AS (
+        SELECT doc_id,
+               CAST(1 + (md5_number_lower('nl:' || doc_id) % 3) AS BIGINT)
+                   AS n_links
+        FROM documents
+    ),
+    links AS (
+        SELECT k.doc_id,
+               CAST(md5_number_lower('link:' || k.doc_id || ':' || u.j)
+                    % (SELECT n_docs FROM n) AS BIGINT) AS dst
+        FROM k, unnest(range(k.n_links)) AS u(j)
+    )
+    SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.example'
+               AS src_host,
+           'h' || CAST(dst % {_N_HOSTS} AS VARCHAR) || '.example'
+               AS dst_host,
+           count(*)::BIGINT AS n_links
+    FROM links
+    GROUP BY src_host, dst_host
+    ORDER BY src_host, dst_host
+    """

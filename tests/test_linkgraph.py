@@ -1,0 +1,169 @@
+"""Hyperlink extraction + host-graph / clustering-coefficient ops.
+
+The href tokenizer is pinned on quoting/entity/malformed-markup edge
+cases; the two planted-graph ops are pinned against brute-force pure-
+Python recomputations independent of the Ray kernels.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as E
+from hinbox_ray.functions.links import extract_hrefs, url_host
+from hinbox_ray.sources.planted import (
+    _N_HOSTS,
+    hostgraph_oracle_sql,
+    link_targets,
+    linked_pages_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ── href tokenizer ──
+
+
+def test_extract_hrefs_quoting_and_entities():
+    html = (
+        '<p><a href="http://a.example/x?p=1&amp;q=2">one</a>'
+        "<a href='http://b.example/y'>two</a>"
+        "<a href=http://c.example/z>three</a></p>"
+    )
+    assert extract_hrefs(html) == [
+        "http://a.example/x?p=1&q=2",  # entity decoded
+        "http://b.example/y",
+        "http://c.example/z",  # unquoted attribute value
+    ]
+
+
+def test_extract_hrefs_edge_cases():
+    # no-href anchors, valueless href, duplicate attribute (first wins),
+    # uppercase tag/attr names, bytes input, non-anchor hrefs ignored
+    html = (
+        b"<a name='x'>skip</a><a href>skip</a>"
+        b'<A HREF="http://up.example/">u</A>'
+        b'<a href="http://d1.example" href="http://d2.example">d</a>'
+        b'<link href="http://not-an-anchor.example">'
+        b"<a href=\"http://tail.example\">t"  # unclosed at EOF
+    )
+    assert extract_hrefs(html) == [
+        "http://up.example/",
+        "http://d1.example",
+        "http://tail.example",
+    ]
+
+
+def test_extract_hrefs_keeps_duplicates_in_order():
+    html = '<a href="http://a.example/1"></a><a href="http://a.example/1"></a>'
+    assert extract_hrefs(html) == ["http://a.example/1"] * 2
+
+
+def test_url_host():
+    assert url_host("http://H7.Example/p/3?q#f") == "h7.example"
+    assert url_host("https://x.example:8080/p") == "x.example"
+    assert url_host("mailto:a@b.example") is None
+    assert url_host("/relative/path") is None
+    assert url_host("javascript:void(0)") is None
+    assert url_host("http:///nohost") is None
+
+
+# ── planted linked corpus ──
+
+
+def _doc_ids():
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{SF}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    return ids
+
+
+def test_linked_pages_anchors_match_plan():
+    import pyarrow as pa
+
+    ids = _doc_ids()
+    n = len(ids)
+    batch = pa.table({"doc_id": pa.array(ids[:20], type=pa.int64())})
+    out = linked_pages_batch(batch, n_docs=n)
+    for d, html in zip(ids[:20], out.column("html").to_pylist()):
+        got = [url_host(h) for h in extract_hrefs(html)]
+        want = [f"h{t % _N_HOSTS}.example" for t in link_targets(d, n)]
+        assert got == want
+
+
+def _brute_hostgraph(ids):
+    n = len(ids)
+    cnt: collections.Counter = collections.Counter()
+    for d in ids:
+        src = f"h{d % _N_HOSTS}.example"
+        for t in link_targets(d, n):
+            cnt[(src, f"h{t % _N_HOSTS}.example")] += 1
+    return cnt
+
+
+def test_hostgraph_matches_bruteforce(ray_session):
+    got = E.queries()["kg_hostgraph_planted"](SF).to_pandas()
+    want = _brute_hostgraph(_doc_ids())
+    got_map = {
+        (r.src_host, r.dst_host): r.n_links for r in got.itertuples()
+    }
+    assert got_map == dict(want)
+    # sorted output, int64 weights, some weight > 1 (dup links counted)
+    assert got[["src_host", "dst_host"]].values.tolist() == sorted(
+        got[["src_host", "dst_host"]].values.tolist()
+    )
+    assert got["n_links"].dtype.kind == "i"
+    assert int(got["n_links"].max()) >= 1
+
+
+def test_hostgraph_oracle_sql_matches_bruteforce():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = {
+        (a, b): c
+        for a, b, c in con.execute(hostgraph_oracle_sql()).fetchall()
+    }
+    con.close()
+    assert sql == dict(_brute_hostgraph(_doc_ids()))
+
+
+# ── clustering coefficient ──
+
+
+def test_clustcoef_matches_bruteforce(ray_session):
+    com = E.queries()["kg_comention_planted"](SF).to_pandas()
+    strong = com[com["n_docs"] >= 4]
+    adj: dict = collections.defaultdict(set)
+    for r in strong.itertuples():
+        adj[r.ea].add(r.eb)
+        adj[r.eb].add(r.ea)
+
+    got = E.queries()["kg_clustcoef_planted"](SF).to_pandas()
+    assert list(got.columns) == ["subj", "deg", "n_triangles", "clustcoef_e6"]
+    assert sorted(got["subj"]) == sorted(adj)
+    for r in got.itertuples():
+        nbrs = adj[r.subj]
+        deg = len(nbrs)
+        ntri = sum(
+            1
+            for u in nbrs
+            for v in nbrs
+            if u < v and v in adj[u]
+        )
+        cc = (2_000_000 * ntri) // (deg * (deg - 1)) if deg >= 2 else 0
+        assert (r.deg, r.n_triangles, r.clustcoef_e6) == (deg, ntri, cc), r.subj
+    # non-vacuous: the planted strong graph has both open and closed
+    # neighborhoods
+    assert got["clustcoef_e6"].nunique() > 1
+    assert int(got["n_triangles"].sum()) > 0
