@@ -1452,6 +1452,69 @@ def _kg_hostgraph_planted(sf_dir: str) -> Any:
     )
 
 
+def _kg_anchor_alias_planted(sf_dir: str) -> Any:
+    """Anchor-text alias dictionary over the md5-planted linked corpus —
+    the web-KG alias-mining primitive (the anchor texts pointing at a
+    target are its alias candidates; Wikipedia anchor dictionaries are
+    the canonical instance). The Ray side recovers every (href, text)
+    pair from the page bytes with the stdlib tokenizer
+    (``functions/links.py:extract_anchors`` — alias strings are
+    entity-escaped at generation and must decode back exactly),
+    normalizes targets to hosts, and aggregates (alias, dst_host)
+    weights via a per-block Counter combiner + one pair-hash bucketed
+    sum. The DuckDB oracle re-derives every alias from the md5 plant
+    plan joined to the gazetteer VALUES fixture
+    (``sources/planted.py:anchor_alias_oracle_sql``) — no HTML parsing
+    on the SQL side, so a dropped anchor, mis-scoped text collection or
+    broken entity decode flips the value hash.
+
+    Scale plan: identical exchange shape to ``_kg_hostgraph_planted`` —
+    the combiner thins to the block's distinct (alias, host) pairs, the
+    shuffle carries alias-vocabulary-scale rows on a pair-hash bucket
+    key, driver state is zero.
+    """
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.functions.links import extract_anchors, url_host
+    from hinbox_ray.sources.planted import linked_pages_dataset
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    def alias_local(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: collections.Counter = collections.Counter()
+        for html in df["html"]:
+            for href, text in extract_anchors(html):
+                dst = url_host(href)
+                if dst is not None:
+                    cnt[(text, dst)] += 1
+        items = sorted(cnt.items())
+        return pd.DataFrame(
+            {
+                "alias": pd.Series([k[0] for k, _ in items], dtype=object),
+                "dst_host": pd.Series([k[1] for k, _ in items], dtype=object),
+                "n_links": pd.Series([v for _, v in items], dtype=np.int64),
+            }
+        )
+
+    def sum_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "alias": [g["alias"].iloc[0]],
+                "dst_host": [g["dst_host"].iloc[0]],
+                "n_links": pd.Series([int(g["n_links"].sum())], dtype=np.int64),
+            }
+        )
+
+    local = linked_pages_dataset(sf_dir).map_batches(
+        alias_local, batch_format="pandas"
+    )
+    return bucketed_map_groups(local, ["alias", "dst_host"], sum_pair).sort(
+        ["alias", "dst_host"]
+    )
+
+
 def _kg_clustcoef_planted(sf_dir: str, min_docs: int = 4) -> Any:
     """Local clustering coefficient of every strong co-mention node —
     the per-node cohesion feature (how close a node's neighborhood is
@@ -1648,6 +1711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-level hyperlink graph: REAL anchor tokenization on the
         # Ray side, md5 plant plan re-derived by the oracle
         "kg_hostgraph_planted": _kg_hostgraph_planted,
+        # anchor-text alias dictionary (web-KG alias mining)
+        "kg_anchor_alias_planted": _kg_anchor_alias_planted,
         # per-node local clustering coefficient (integer e6)
         "kg_clustcoef_planted": _kg_clustcoef_planted,
         # dense hourly resample with zero-fill (row densification)
@@ -2083,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
     from hinbox_ray.sources.planted import (
         entities_oracle_sql,
         grounding_oracle_sql,
+        anchor_alias_oracle_sql,
         hostgraph_oracle_sql,
         profiles_oracle_sql,
         triples_oracle_sql,
@@ -2350,6 +2416,8 @@ def oracle_sql() -> dict[str, str]:
         # host-level link graph: targets re-derived from the md5 plant
         # plan — the SQL side never parses HTML (independent truth)
         "kg_hostgraph_planted": hostgraph_oracle_sql(),
+        # alias dictionary: plant plan + gazetteer VALUES, no HTML in SQL
+        "kg_anchor_alias_planted": anchor_alias_oracle_sql(),
         # clustering coefficient: independent 3-way-join triangles +
         # degree + the same floor arithmetic
         "kg_clustcoef_planted": f"""

@@ -75,3 +75,61 @@ def url_host(url: str) -> Optional[str]:
     if ":" in host:  # strip an explicit port
         host = host.split(":", 1)[0]
     return host.lower() or None
+
+
+class _AnchorCollector(HTMLParser):
+    """Collect (href, text) per anchor, document order.
+
+    HTML forbids nested ``<a>``; per the WHATWG parser, a new anchor
+    start tag implicitly closes any open one — mirrored here so
+    malformed markup degrades the same way a browser does.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: List[tuple] = []
+        self._href: Optional[str] = None
+        self._buf: List[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, "".join(self._buf)))
+        self._href = None
+        self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        self._flush()  # implicit close of an open anchor
+        for name, value in attrs:
+            if name == "href" and value is not None:
+                self._href = value
+                return
+        self._href = None  # href-less anchor: collect nothing
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()  # unclosed anchor at EOF keeps its text
+
+
+def extract_anchors(html: bytes | str) -> List[tuple]:
+    """All (href, anchor_text) pairs of a page, document order.
+
+    Text is the concatenation of the anchor's descendant text nodes
+    with entities decoded — the alias-candidate string anchor-text
+    mining consumes. Anchors without an href are dropped (no link, no
+    alias evidence)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _AnchorCollector()
+    p.feed(html)
+    p.close()
+    return p.anchors

@@ -771,6 +771,20 @@ def link_targets(doc_id: int, n_docs: int) -> List[int]:
     return [md5_lower64(f"link:{doc_id}:{j}") % n_docs for j in range(k)]
 
 
+#: Anchor-text alias pool: the normalized display of every planted
+#: surface (what an alias dictionary stores). Index md5-planted per
+#: (doc, slot) — see ``anchor_alias_texts``.
+_ALIAS_TEXTS: List[str] = [normalize_display(e.surface) for e in PLANTED]
+
+
+def anchor_alias_texts(doc_id: int, n_links: int) -> List[str]:
+    """The md5-planted anchor text for each of a doc's outlinks."""
+    return [
+        _ALIAS_TEXTS[md5_lower64(f"atext:{doc_id}:{j}") % len(_ALIAS_TEXTS)]
+        for j in range(n_links)
+    ]
+
+
 def linked_pages_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
     """documents(doc_id) batch → (url, html) batch whose body carries
     the planted sentences plus a ``<nav>`` of md5-planted anchors. The
@@ -778,14 +792,18 @@ def linked_pages_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
     of the planted corpus is untouched; anchor hrefs embed a
     ``&amp;``-escaped query parameter so the tokenizer's entity
     decoding is exercised on every page."""
+    from html import escape
+
     doc_ids = batch.column("doc_id").to_pylist()
     urls, htmls = [], []
     for d in doc_ids:
         d = int(d)
+        targets = link_targets(d, n_docs)
+        texts = anchor_alias_texts(d, len(targets))
         anchors = "".join(
             f'<a href="{linked_page_url(t)}?src={d}&amp;slot={j}">'
-            f"ref {j}</a>"
-            for j, t in enumerate(link_targets(d, n_docs))
+            f"{escape(a)}</a>"
+            for j, (t, a) in enumerate(zip(targets, texts))
         )
         urls.append(linked_page_url(d))
         htmls.append(
@@ -848,4 +866,40 @@ def hostgraph_oracle_sql() -> str:
     FROM links
     GROUP BY src_host, dst_host
     ORDER BY src_host, dst_host
+    """
+
+
+def anchor_alias_oracle_sql() -> str:
+    """DuckDB SQL for ``kg_anchor_alias_planted``: the alias dictionary
+    (anchor_text → target host, weight) re-derived from the md5 plant
+    plan plus the gazetteer VALUES fixture — no HTML parsing on the SQL
+    side; the Ray side must recover every alias string from the actual
+    anchor bytes (entity-escaped at generation, decoded by the
+    tokenizer)."""
+    return f"""
+    WITH gaz(idx, display, cluster, score_rank) AS (VALUES
+        {_gaz_values()}
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    k AS (
+        SELECT doc_id,
+               CAST(1 + (md5_number_lower('nl:' || doc_id) % 3) AS BIGINT)
+                   AS n_links
+        FROM documents
+    ),
+    l AS (
+        SELECT k.doc_id, u.j,
+               CAST(md5_number_lower('link:' || k.doc_id || ':' || u.j)
+                    % (SELECT n_docs FROM n) AS BIGINT) AS dst,
+               CAST(md5_number_lower('atext:' || k.doc_id || ':' || u.j)
+                    % {len(PLANTED)} AS BIGINT) AS aidx
+        FROM k, unnest(range(k.n_links)) AS u(j)
+    )
+    SELECT g.display AS alias,
+           'h' || CAST(l.dst % {_N_HOSTS} AS VARCHAR) || '.example'
+               AS dst_host,
+           count(*)::BIGINT AS n_links
+    FROM l JOIN gaz g ON g.idx = l.aidx
+    GROUP BY alias, dst_host
+    ORDER BY alias, dst_host
     """

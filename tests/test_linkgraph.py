@@ -167,3 +167,49 @@ def test_clustcoef_matches_bruteforce(ray_session):
     # neighborhoods
     assert got["clustcoef_e6"].nunique() > 1
     assert int(got["n_triangles"].sum()) > 0
+
+
+# ── anchor-text alias mining ──
+
+
+def test_extract_anchors_text_scoping():
+    from hinbox_ray.functions.links import extract_anchors
+
+    html = (
+        '<a href="http://a.example">Foo &amp; Bar</a>'
+        '<a href="http://b.example">x<b>y</b>z</a>'
+        "outside"
+        '<a href="http://c.example">open<a href="http://d.example">nest</a>'
+        '<a name="q">skip</a>'
+        '<a href="http://e.example">tail'  # unclosed at EOF
+    )
+    assert extract_anchors(html) == [
+        ("http://a.example", "Foo & Bar"),  # entity decoded
+        ("http://b.example", "xyz"),  # nested non-anchor markup
+        ("http://c.example", "open"),  # implicit close at new <a>
+        ("http://d.example", "nest"),
+        ("http://e.example", "tail"),  # EOF flush
+    ]
+
+
+def _brute_aliases(ids):
+    from hinbox_ray.sources.planted import anchor_alias_texts
+
+    n = len(ids)
+    cnt: collections.Counter = collections.Counter()
+    for d in ids:
+        ts = link_targets(d, n)
+        for t, a in zip(ts, anchor_alias_texts(d, len(ts))):
+            cnt[(a, f"h{t % _N_HOSTS}.example")] += 1
+    return cnt
+
+
+def test_anchor_alias_matches_bruteforce(ray_session):
+    got = E.queries()["kg_anchor_alias_planted"](SF).to_pandas()
+    want = _brute_aliases(_doc_ids())
+    got_map = {(r.alias, r.dst_host): r.n_links for r in got.itertuples()}
+    assert got_map == dict(want)
+    # alias strings are real gazetteer displays (incl. an &-escaped one
+    # surviving the round-trip) and weights are int64
+    assert got["n_links"].dtype.kind == "i"
+    assert got["alias"].str.len().min() > 0
