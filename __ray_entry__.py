@@ -1515,6 +1515,60 @@ def _kg_anchor_alias_planted(sf_dir: str) -> Any:
     )
 
 
+def _pages_url_canonicalize(sf_dir: str) -> Any:
+    """Crawl URL canonicalization + canonical-URL dedup over the
+    md5-planted messy-URL corpus — the FIRST pass of every web crawl
+    (byte-different spellings of the same resource must collapse before
+    content dedup). The Ray side normalizes every messy spelling for
+    real (``functions/links.py:canonical_url``: case, default port,
+    trailing slash, utm params, fragment) and groups to (canon_url,
+    n_pages, keeper_doc_id = min doc_id). The DuckDB oracle never sees
+    the messy strings — it derives each page's canonical target
+    straight from the md5 slot formula
+    (``sources/planted.py:url_canonicalize_oracle_sql``), so every
+    normalization rule is value-checked: one mishandled variant class
+    changes group counts or keepers.
+
+    Scale plan: the normalize is a stateless string map; the per-block
+    combiner thins to the block's distinct canonical URLs before a
+    url-hash bucketed (sum, min) reduce — exact dedup exchange shape
+    (S13 family), no driver state.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.functions.links import canonical_url
+    from hinbox_ray.sources.planted import messy_urls_dataset
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    def canon_local(df: pd.DataFrame) -> pd.DataFrame:
+        canon = df["url"].map(canonical_url)
+        g = (
+            pd.DataFrame({"canon_url": canon, "doc_id": df["doc_id"]})
+            .groupby("canon_url", as_index=False, sort=True)
+            .agg(n_pages=("doc_id", "size"), keeper_doc_id=("doc_id", "min"))
+        )
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g["keeper_doc_id"] = g["keeper_doc_id"].astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "canon_url": [g["canon_url"].iloc[0]],
+                "n_pages": pd.Series([int(g["n_pages"].sum())], dtype=np.int64),
+                "keeper_doc_id": pd.Series(
+                    [int(g["keeper_doc_id"].min())], dtype=np.int64
+                ),
+            }
+        )
+
+    local = messy_urls_dataset(sf_dir).map_batches(
+        canon_local, batch_format="pandas"
+    )
+    return bucketed_map_groups(local, "canon_url", merge).sort("canon_url")
+
+
 def _kg_clustcoef_planted(sf_dir: str, min_docs: int = 4) -> Any:
     """Local clustering coefficient of every strong co-mention node —
     the per-node cohesion feature (how close a node's neighborhood is
@@ -1713,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hostgraph_planted": _kg_hostgraph_planted,
         # anchor-text alias dictionary (web-KG alias mining)
         "kg_anchor_alias_planted": _kg_anchor_alias_planted,
+        # crawl URL canonicalization + canonical-URL dedup (S13 family)
+        "pages_url_canonicalize": _pages_url_canonicalize,
         # per-node local clustering coefficient (integer e6)
         "kg_clustcoef_planted": _kg_clustcoef_planted,
         # dense hourly resample with zero-fill (row densification)
@@ -2150,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         grounding_oracle_sql,
         anchor_alias_oracle_sql,
         hostgraph_oracle_sql,
+        url_canonicalize_oracle_sql,
         profiles_oracle_sql,
         triples_oracle_sql,
         verdicts_oracle_sql,
@@ -2418,6 +2475,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_hostgraph_planted": hostgraph_oracle_sql(),
         # alias dictionary: plant plan + gazetteer VALUES, no HTML in SQL
         "kg_anchor_alias_planted": anchor_alias_oracle_sql(),
+        # canonical target derived from the slot formula — SQL never
+        # sees the messy spellings
+        "pages_url_canonicalize": url_canonicalize_oracle_sql(),
         # clustering coefficient: independent 3-way-join triangles +
         # degree + the same floor arithmetic
         "kg_clustcoef_planted": f"""

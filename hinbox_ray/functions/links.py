@@ -133,3 +133,51 @@ def extract_anchors(html: bytes | str) -> List[tuple]:
     p.feed(html)
     p.close()
     return p.anchors
+
+
+def canonical_url(url: str) -> Optional[str]:
+    """Crawl-style URL canonicalization: lowercase scheme+host, strip
+    default ports (http:80 / https:443), drop the fragment, drop
+    tracking params (``utm_*`` — other query params survive in order),
+    and strip one trailing slash from a non-root path. Non-http(s)
+    URLs return ``None`` (same contract as ``url_host``).
+
+    This is the equivalence a crawl dedups on BEFORE content hashing:
+    the variants differ in bytes but name the same resource.
+    """
+    low = url.lower()
+    if low.startswith("http://"):
+        scheme, rest = "http", url[7:]
+    elif low.startswith("https://"):
+        scheme, rest = "https", url[8:]
+    else:
+        return None
+
+    rest = rest.split("#", 1)[0]  # fragment is client-side only
+    hostpart, sep, tail = rest.partition("/")
+    path_q = sep + tail if sep else ""
+    hostport = hostpart.split("?", 1)[0].lower()
+    if ":" in hostport:
+        host, port = hostport.split(":", 1)
+        if not (
+            port == ""
+            or (scheme == "http" and port == "80")
+            or (scheme == "https" and port == "443")
+        ):
+            host = f"{host}:{port}"
+    else:
+        host = hostport
+    if not host.split(":", 1)[0]:
+        return None
+
+    path, qsep, query = path_q.partition("?")
+    if query:
+        kept = [
+            p for p in query.split("&") if not p.lower().startswith("utm_")
+        ]
+        query = "&".join(kept)
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    if not path:
+        path = "/"
+    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")

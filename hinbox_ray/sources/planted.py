@@ -903,3 +903,87 @@ def anchor_alias_oracle_sql() -> str:
     GROUP BY alias, dst_host
     ORDER BY alias, dst_host
     """
+
+
+# ──────────────────────────────────────────────
+# Planted messy-URL corpus (crawl URL canonicalization)
+# ──────────────────────────────────────────────
+
+
+def _canon_slot(doc_id: int, n_docs: int) -> int:
+    """The canonical target a messy page names: ~3 pages per target, so
+    the dedup is non-vacuous at every scale."""
+    return md5_lower64(f"uslot:{doc_id}") % max(1, n_docs // 3)
+
+
+def messy_url(doc_id: int, n_docs: int) -> str:
+    """An md5-planted *variant spelling* of the canonical URL — byte-
+    different, resource-identical. Variant 0 is the canonical spelling
+    itself; 1–5 are uppercase scheme+host, explicit default port,
+    trailing slash, utm tracking params, and a fragment."""
+    canon = linked_page_url(_canon_slot(doc_id, n_docs))
+    v = md5_lower64(f"uv:{doc_id}") % 6
+    if v == 1:
+        scheme, rest = canon.split("://", 1)
+        host, path = rest.split("/", 1)
+        return f"{scheme.upper()}://{host.upper()}/{path}"
+    if v == 2:
+        return canon.replace(".example/", ".example:80/", 1)
+    if v == 3:
+        return canon + "/"
+    if v == 4:
+        return canon + "?utm_source=feed&utm_medium=rss"
+    if v == 5:
+        return canon + "#section-2"
+    return canon
+
+
+def messy_url_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d in doc_ids], type=pa.int64()),
+            "url": pa.array(
+                [messy_url(int(d), n_docs) for d in doc_ids],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
+def messy_urls_dataset(sf_dir: str):
+    """Pruned documents read → (doc_id, messy url) Dataset."""
+    from functools import partial
+
+    from .reader import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    )
+    n_docs = ds.count()
+    return ds.map_batches(
+        partial(messy_url_batch, n_docs=n_docs), batch_format="pyarrow"
+    )
+
+
+def url_canonicalize_oracle_sql() -> str:
+    """DuckDB SQL for ``pages_url_canonicalize``: the ground-truth
+    canonical URL comes straight from the slot formula — the SQL side
+    never sees the messy spellings, so every normalization rule the Ray
+    side applies (case, port, slash, utm, fragment) is value-checked."""
+    return f"""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(md5_number_lower('uslot:' || doc_id)
+                    % GREATEST((SELECT n_docs FROM n) // 3, 1) AS BIGINT)
+                   AS t
+        FROM documents
+    )
+    SELECT 'http://h' || CAST(t % {_N_HOSTS} AS VARCHAR)
+               || '.example/p/' || lpad(CAST(t AS VARCHAR), 8, '0')
+               AS canon_url,
+           count(*)::BIGINT AS n_pages,
+           min(doc_id)::BIGINT AS keeper_doc_id
+    FROM s GROUP BY canon_url ORDER BY canon_url
+    """

@@ -213,3 +213,50 @@ def test_anchor_alias_matches_bruteforce(ray_session):
     # surviving the round-trip) and weights are int64
     assert got["n_links"].dtype.kind == "i"
     assert got["alias"].str.len().min() > 0
+
+
+# ── URL canonicalization ──
+
+
+def test_canonical_url_rules():
+    from hinbox_ray.functions.links import canonical_url as c
+
+    assert c("HTTP://H7.Example/p/00000003") == "http://h7.example/p/00000003"
+    assert c("http://h7.example:80/p/3") == "http://h7.example/p/3"
+    assert c("https://h7.example:443/") == "https://h7.example/"
+    assert c("https://h7.example:8443/x") == "https://h7.example:8443/x"
+    assert c("http://h7.example/p/3/") == "http://h7.example/p/3"
+    assert c("http://h7.example/p/3?utm_source=f&utm_medium=r") == (
+        "http://h7.example/p/3"
+    )
+    assert c("http://h7.example/p/3?a=1&utm_x=2&b=3") == (
+        "http://h7.example/p/3?a=1&b=3"
+    )
+    assert c("http://h7.example/p/3#frag") == "http://h7.example/p/3"
+    assert c("http://h7.example") == "http://h7.example/"
+    assert c("ftp://x.example/a") is None
+    assert c("not a url") is None
+
+
+def test_url_canonicalize_matches_bruteforce(ray_session):
+    from hinbox_ray.functions.links import canonical_url
+    from hinbox_ray.sources.planted import md5_lower64, messy_url
+
+    ids = _doc_ids()
+    n = len(ids)
+    agg: dict = {}
+    variants: set = set()
+    for d in ids:
+        c = canonical_url(messy_url(d, n))
+        variants.add(md5_lower64(f"uv:{d}") % 6)
+        cnt, keeper = agg.get(c, (0, 1 << 62))
+        agg[c] = (cnt + 1, min(keeper, d))
+    assert variants == set(range(6))  # every variant class planted
+
+    got = E.queries()["pages_url_canonicalize"](SF).to_pandas()
+    got_map = {
+        r.canon_url: (r.n_pages, r.keeper_doc_id) for r in got.itertuples()
+    }
+    assert got_map == agg
+    assert int(got["n_pages"].max()) > 1  # dedup is non-vacuous
+    assert list(got["canon_url"]) == sorted(got["canon_url"])
