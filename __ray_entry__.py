@@ -1515,6 +1515,171 @@ def _kg_anchor_alias_planted(sf_dir: str) -> Any:
     )
 
 
+def _kg_hostrank_planted(sf_dir: str, iters: int = 3) -> Any:
+    """Weighted directed PageRank over the REAL extracted host graph —
+    the rank consumer that completes the web-graph story (extract
+    anchors → host graph → host authority; crawl-frontier ordering is
+    exactly this). Unlike ``_kg_pagerank_planted`` (undirected,
+    unweighted co-mention), edges here are directed with anchor-count
+    weights, straight from ``_kg_hostgraph_planted``'s HTML parsing.
+
+    Exactness contract (integer, e12): r0 = S // N over ALL hosts;
+    per-unit share = r_t(u) // W_u (W_u = Σ out-weights), scatter w_e ×
+    share along each edge, r_{t+1}(v) = tele + (850·Σ)//1000 with tele
+    = (150·(S//N))//1000. Hosts with no out-links keep their mass out
+    of circulation (standard dangling-mass drop; the oracle does the
+    same); hosts with no in-links gather 0 (LEFT-JOIN semantics — the
+    gather co-group sees their rank row only). The DuckDB oracle
+    re-derives the host edges from the md5 plant plan and unrolls the
+    same ``iters`` rounds with ``//``.
+
+    Scale plan: the host graph is vocabulary-scale (hosts ≪ pages —
+    ~10^8 hosts for 10^12 pages), so materializing the edge table once
+    before the rounds is object-store-cheap and keeps each iteration
+    to two bucketed co-groups (scatter on src-hash, gather on
+    dst-hash); driver state is two scalars (N, tele).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    SCALE = 10**12
+    hg = _kg_hostgraph_planted(sf_dir).materialize()
+
+    # node vocabulary + out-weight (0 for sink hosts): tagged union
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [df["src_host"], df["dst_host"]], ignore_index=True
+                ).astype(object),
+                "w": pd.concat(
+                    [
+                        df["n_links"].astype(np.int64),
+                        pd.Series(np.zeros(len(df), dtype=np.int64)),
+                    ],
+                    ignore_index=True,
+                ),
+            }
+        )
+
+    def sum_w(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": [g["node"].iloc[0]],
+                "outw": pd.Series([int(g["w"].sum())], dtype=np.int64),
+            }
+        )
+
+    outw = bucketed_map_groups(
+        hg.map_batches(node_rows, batch_format="pandas"), "node", sum_w
+    )
+    n_nodes = outw.count()  # host-vocabulary-scale driver scalar
+    r0 = SCALE // n_nodes
+    tele = (150 * r0) // 1000
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["rank"] = np.full(len(df), r0, dtype=np.int64)
+        return out
+
+    ranks = outw.map_batches(seed, batch_format="pandas")
+
+    def tag_rank_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype(object),
+                "dst": pd.Series([""] * len(df), dtype=object),
+                "w": pd.Series(np.zeros(len(df), dtype=np.int64)),
+                "outw": df["outw"].astype(np.int64),
+                "rank": df["rank"].astype(np.int64),
+                "kind": pd.Series(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": df["src_host"].astype(object),
+                "dst": df["dst_host"].astype(object),
+                "w": df["n_links"].astype(np.int64),
+                "outw": pd.Series(z),
+                "rank": pd.Series(z),
+                "kind": pd.Series(z),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        src_row = g[g["kind"] == 1]
+        es = g[g["kind"] == 0]
+        ow = int(src_row["outw"].iloc[0])
+        if ow == 0 or not len(es):  # dangling host: mass drops
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=object),
+                    "contrib": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int64),
+                }
+            )
+        share = int(src_row["rank"].iloc[0]) // ow
+        return pd.DataFrame(
+            {
+                "key": es["dst"].to_numpy(),
+                "contrib": (es["w"].to_numpy(dtype=np.int64) * share),
+                "kind": pd.Series(np.zeros(len(es), dtype=np.int64)),
+            }
+        )
+
+    def tag_outw(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype(object),
+                "contrib": df["outw"].astype(np.int64),
+                "kind": pd.Series(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g.loc[g["kind"] == 0, "contrib"].sum())
+        ow = int(g.loc[g["kind"] == 1, "contrib"].iloc[0])
+        return pd.DataFrame(
+            {
+                "node": [g["key"].iloc[0]],
+                "outw": pd.Series([ow], dtype=np.int64),
+                "rank": pd.Series([tele + (850 * s) // 1000], dtype=np.int64),
+            }
+        )
+
+    edges_tagged = hg.map_batches(tag_edge, batch_format="pandas")
+    for _ in range(iters):
+        contribs = bucketed_map_groups(
+            edges_tagged.union(
+                ranks.map_batches(tag_rank_src, batch_format="pandas")
+            ),
+            "key",
+            scatter,
+        )
+        ranks = bucketed_map_groups(
+            contribs.union(
+                ranks.map_batches(tag_outw, batch_format="pandas")
+            ),
+            "key",
+            gather,
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": df["node"].astype(object),
+                "hostrank_e12": df["rank"].astype(np.int64),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pandas").sort("host")
+
+
 def _pages_url_canonicalize(sf_dir: str) -> Any:
     """Crawl URL canonicalization + canonical-URL dedup over the
     md5-planted messy-URL corpus — the FIRST pass of every web crawl
@@ -1769,6 +1934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_anchor_alias_planted": _kg_anchor_alias_planted,
         # crawl URL canonicalization + canonical-URL dedup (S13 family)
         "pages_url_canonicalize": _pages_url_canonicalize,
+        # weighted directed PageRank over the real extracted host graph
+        "kg_hostrank_planted": _kg_hostrank_planted,
         # per-node local clustering coefficient (integer e6)
         "kg_clustcoef_planted": _kg_clustcoef_planted,
         # dense hourly resample with zero-fill (row densification)
@@ -2396,6 +2563,66 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, cos_e4 DESC, vec_id
     """
 
+
+    # weighted directed PageRank rounds over the plant-plan host graph,
+    # unrolled with the same floor arithmetic as _kg_hostrank_planted
+    _hr_prev = "hr0"
+    _hr_rounds = []
+    for _t in range(1, 4):
+        _hr_rounds.append(f"""
+            hs{_t} AS MATERIALIZED (
+                SELECT e.dst AS node,
+                       sum(e.w * (r.rank // r.outw))::BIGINT AS s
+                FROM he e JOIN {_hr_prev} r
+                  ON e.src = r.node AND r.outw > 0
+                GROUP BY e.dst
+            ),
+            hr{_t} AS MATERIALIZED (
+                SELECT o.node, o.outw,
+                       ((150 * (1000000000000 // hn.n)) // 1000
+                        + (850 * coalesce(hs{_t}.s, 0)) // 1000)::BIGINT
+                           AS rank
+                FROM how o CROSS JOIN hn
+                LEFT JOIN hs{_t} ON hs{_t}.node = o.node
+            )""")
+        _hr_prev = f"hr{_t}"
+    _HOSTRANK_SQL = f"""
+        WITH n0 AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        hk AS (
+            SELECT doc_id,
+                   CAST(1 + (md5_number_lower('nl:' || doc_id) % 3)
+                        AS BIGINT) AS n_links
+            FROM documents
+        ),
+        hl AS (
+            SELECT hk.doc_id,
+                   CAST(md5_number_lower('link:' || hk.doc_id || ':' || u.j)
+                        % (SELECT n_docs FROM n0) AS BIGINT) AS dst
+            FROM hk, unnest(range(hk.n_links)) AS u(j)
+        ),
+        he AS MATERIALIZED (
+            SELECT 'h' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS src,
+                   'h' || CAST(dst % 101 AS VARCHAR) || '.example' AS dst,
+                   count(*)::BIGINT AS w
+            FROM hl GROUP BY src, dst
+        ),
+        hnodes AS (SELECT src AS node FROM he UNION SELECT dst FROM he),
+        how AS (
+            SELECT hnodes.node, coalesce(sw.w, 0)::BIGINT AS outw
+            FROM hnodes LEFT JOIN (
+                SELECT src, sum(w)::BIGINT AS w FROM he GROUP BY src
+            ) sw ON sw.src = hnodes.node
+        ),
+        hn AS (SELECT count(*)::BIGINT AS n FROM how),
+        hr0 AS (
+            SELECT node, outw, (1000000000000 // hn.n)::BIGINT AS rank
+            FROM how, hn
+        ),
+        {','.join(_hr_rounds)}
+        SELECT node AS host, rank AS hostrank_e12
+        FROM {_hr_prev} ORDER BY host
+    """
+
     return {
         # flagship KG over the md5-planted corpus: DuckDB independently
         # rebuilds the ground-truth graph from the plant plan + the
@@ -2478,6 +2705,8 @@ def oracle_sql() -> dict[str, str]:
         # canonical target derived from the slot formula — SQL never
         # sees the messy spellings
         "pages_url_canonicalize": url_canonicalize_oracle_sql(),
+        # weighted directed PageRank over the plant-plan host graph
+        "kg_hostrank_planted": _HOSTRANK_SQL,
         # clustering coefficient: independent 3-way-join triangles +
         # degree + the same floor arithmetic
         "kg_clustcoef_planted": f"""

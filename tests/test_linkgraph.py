@@ -260,3 +260,33 @@ def test_url_canonicalize_matches_bruteforce(ray_session):
     assert got_map == agg
     assert int(got["n_pages"].max()) > 1  # dedup is non-vacuous
     assert list(got["canon_url"]) == sorted(got["canon_url"])
+
+
+# ── weighted host PageRank ──
+
+
+def test_hostrank_matches_bruteforce(ray_session):
+    """Independent dense integer-PR loop over the brute-force host
+    graph — same floor arithmetic, no shared code with the Ray kernel
+    or the SQL oracle."""
+    SCALE = 10**12
+    edges = _brute_hostgraph(_doc_ids())
+    nodes = sorted({k[0] for k in edges} | {k[1] for k in edges})
+    outw = collections.Counter()
+    for (src, _dst), w in edges.items():
+        outw[src] += w
+    n = len(nodes)
+    r0 = SCALE // n
+    tele = (150 * r0) // 1000
+    rank = {v: r0 for v in nodes}
+    for _ in range(3):
+        s: dict = {v: 0 for v in nodes}
+        for (src, dst), w in edges.items():
+            if outw[src] > 0:
+                s[dst] += w * (rank[src] // outw[src])
+        rank = {v: tele + (850 * s[v]) // 1000 for v in nodes}
+
+    got = E.queries()["kg_hostrank_planted"](SF).to_pandas()
+    assert {r.host: r.hostrank_e12 for r in got.itertuples()} == rank
+    # non-vacuous: authority actually differentiates hosts
+    assert got["hostrank_e12"].nunique() > 1
