@@ -1901,7 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": A.events_funnel,
         # weekly cohort retention (per-user co-group + partial counts)
         "events_retention": A.events_retention,
-        # ── 17-19: new in round 5, never swept ────────────────────────
+        # ── 17+: new in round 5 ───────────────────────────────────────
         # constant-memory Bloom variant of the decontamination pass
         # (oracle re-derives the filter bit-for-bit in SQL)
         "doc_bloom_decontaminate": T.doc_bloom_decontaminate,
@@ -1951,7 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
-        # ── 35-43: green in r3, outside r4's sweep window ─────────────
+        # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
         "embedding_neardup": T.embedding_neardup,
@@ -1968,7 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_sequences": T.doc_pack_sequences,
         "events_trailing_count": A.events_trailing_count,
         "orders_lineitem_range_join": A.orders_lineitem_range_join,
-        # ── 44-50: green once (r4) — stay until 2 consecutive greens ──
+        # ── window tail: green once (r4) ──────────────────────────────
         "events_hll_users": A.events_hll_users,
         # incremental-ingest dedup (anti-join the increment vs existing)
         "doc_incremental_dedup": T.doc_incremental_dedup,
@@ -1982,9 +1982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_top_terms": T.doc_cluster_top_terms,
         # corpus-trained bigram-LM surprise (CCNet perplexity shape)
         "doc_lm_surprise": T.doc_lm_surprise,
-        # ── 51+: r4-green, slid out when the round-5 triangle / k-core /
-        #    labelprop / linkpred / bfs / gapfill / pivot / lag /
-        #    jaccard-join / percentile / jsonl ops rotated in; still
+        # ── 51+: r4-green, slid out as round-5 ops rotated in (graph
+        #    consumers, web-graph family, url canonicalize, gapfill /
+        #    pivot / lag, jaccard-join, percentiles, jsonl); still
         #    CI-checked every run ───────────────────────────────────────
         # temperature-based source mixing (sqrt-share downsampling)
         "doc_sample_temperature": T.doc_sample_temperature,
