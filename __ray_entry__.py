@@ -1515,6 +1515,95 @@ def _kg_anchor_alias_planted(sf_dir: str) -> Any:
     )
 
 
+def _kg_increment_planted(sf_dir: str) -> Any:
+    """Continuous-crawl KG maintenance: the signed triple diff an
+    archive BACKFILL applies to the triple store. Base corpus = docs
+    with ``doc_id >= 20`` (the store built from the live crawl); the
+    increment is the earliest archive slice (docs 0–19 — the CDX
+    backfill every Common-Crawl consumer eventually runs). BOTH runs
+    are the FULL flagship pipeline (extraction → blocking → CC →
+    election → triples), because a backfill does not just add triples —
+    earlier first-seen evidence re-elects canonical names, RETRACTING
+    the old spelling's triples ('-' rows) while asserting the new ones
+    ('+' rows); at sf0.001 the planted corpus yields 119 '+' and 65 '-'
+    rows, so both branches are non-vacuous. The diff itself is ONE
+    triple-hash bucketed co-group over the tagged union (set anti-join
+    both ways; each triple set is already distinct), the update shape a
+    store ships downstream. The DuckDB oracle derives both ground-truth
+    sets independently from the filtered and unfiltered plant plans and
+    EXCEPTs them both ways.
+
+    Scale plan: the two KG runs stream independently; the diff exchange
+    carries (subj, pred, obj, kind) rows on a 512-bucket triple-hash
+    key and emits only asymmetric groups — output is diff-scale, not
+    corpus-scale. In production the base triple set reads from the
+    previous run's sorted Parquet instead of recomputing (the lineage
+    manifests make that read prunable); recomputing here keeps the
+    oracle self-contained.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from hinbox_ray.pipelines.kg import build_kg
+    from hinbox_ray.sources.planted import planted_pages_batch
+    from hinbox_ray.sources.reader import read_parquet_clean
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    docs = read_parquet_clean(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    )
+
+    def keep_base(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids >= 20))
+
+    base_pages = docs.map_batches(
+        keep_base, batch_format="pyarrow"
+    ).map_batches(planted_pages_batch, batch_format="pyarrow")
+
+    full = build_kg(
+        docs.map_batches(planted_pages_batch, batch_format="pyarrow")
+    ).triples
+    base = build_kg(base_pages).triples
+
+    def tag(kind: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["subj", "pred", "obj"]].copy()
+            out["kind"] = np.full(len(df), kind, dtype=np.int64)
+            return out
+
+        return fn
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = set(g["kind"])
+        if kinds == {0, 1}:  # present in both: no change
+            return pd.DataFrame(
+                {
+                    "subj": pd.Series([], dtype=object),
+                    "pred": pd.Series([], dtype=object),
+                    "obj": pd.Series([], dtype=object),
+                    "delta": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "subj": [g["subj"].iloc[0]],
+                "pred": [g["pred"].iloc[0]],
+                "obj": [g["obj"].iloc[0]],
+                "delta": ["+" if kinds == {0} else "-"],
+            }
+        )
+
+    return bucketed_map_groups(
+        full.map_batches(tag(0), batch_format="pandas").union(
+            base.map_batches(tag(1), batch_format="pandas")
+        ),
+        ["subj", "pred", "obj"],
+        diff,
+    ).sort(["subj", "pred", "obj", "delta"])
+
+
 def _kg_hostrank_planted(sf_dir: str, iters: int = 3) -> Any:
     """Weighted directed PageRank over the REAL extracted host graph —
     the rank consumer that completes the web-graph story (extract
@@ -1936,6 +2025,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_url_canonicalize": _pages_url_canonicalize,
         # weighted directed PageRank over the real extracted host graph
         "kg_hostrank_planted": _kg_hostrank_planted,
+        # continuous-crawl KG maintenance: signed triple diff of an
+        # archive backfill (full pipeline twice + triple-hash anti-join;
+        # re-election makes the '-' branch non-vacuous)
+        "kg_increment_planted": _kg_increment_planted,
         # per-node local clustering coefficient (integer e6)
         "kg_clustcoef_planted": _kg_clustcoef_planted,
         # dense hourly resample with zero-fill (row densification)
@@ -2707,6 +2800,24 @@ def oracle_sql() -> dict[str, str]:
         "pages_url_canonicalize": url_canonicalize_oracle_sql(),
         # weighted directed PageRank over the plant-plan host graph
         "kg_hostrank_planted": _HOSTRANK_SQL,
+        # signed increment diff: both ground-truth sets derived from the
+        # (un)filtered plant plans, EXCEPTed both ways
+        "kg_increment_planted": f"""
+            WITH full_t AS MATERIALIZED (
+                SELECT * FROM ({triples_oracle_sql()})
+            ),
+            base_t AS MATERIALIZED (
+                SELECT * FROM ({triples_oracle_sql("doc_id >= 20")})
+            )
+            SELECT subj, pred, obj, '+' AS delta FROM (
+                SELECT * FROM full_t EXCEPT SELECT * FROM base_t
+            )
+            UNION ALL
+            SELECT subj, pred, obj, '-' AS delta FROM (
+                SELECT * FROM base_t EXCEPT SELECT * FROM full_t
+            )
+            ORDER BY subj, pred, obj, delta
+        """,
         # clustering coefficient: independent 3-way-join triangles +
         # degree + the same floor arithmetic
         "kg_clustcoef_planted": f"""

@@ -334,10 +334,14 @@ def _first_seen_eid_case() -> str:
     return " ".join(cases)
 
 
-def _plants_cte() -> str:
+def _plants_cte(doc_filter: str = "") -> str:
+    """doc_filter: optional SQL predicate (e.g. "doc_id % 5 != 0") to
+    derive the ground truth for a SUBSET corpus — the increment-diff
+    oracle uses it; empty = all docs (every existing oracle)."""
     n = len(PLANTED)
+    where = f" WHERE {doc_filter}" if doc_filter else ""
     return f"""
-    docs AS (SELECT doc_id FROM documents),
+    docs AS (SELECT doc_id FROM documents{where}),
     plants AS (
         SELECT doc_id, 0 AS slot, (2 * doc_id) % {n} AS idx FROM docs
         UNION ALL
@@ -385,11 +389,12 @@ def _plants_cte() -> str:
     )"""
 
 
-def triples_oracle_sql() -> str:
+def triples_oracle_sql(doc_filter: str = "") -> str:
     """DuckDB SQL deriving the ground-truth (subj, pred, obj) set of
-    ``kg_triples_planted`` from the documents table alone."""
+    ``kg_triples_planted`` from the documents table alone (optionally
+    for the doc subset matching ``doc_filter``)."""
     return f"""
-    WITH {_plants_cte()},
+    WITH {_plants_cte(doc_filter)},
     pres AS (SELECT DISTINCT cluster FROM pm),
     alias_rows AS (SELECT DISTINCT cluster, display FROM pm),
     urls AS (

@@ -290,3 +290,42 @@ def test_hostrank_matches_bruteforce(ray_session):
     assert {r.host: r.hostrank_e12 for r in got.itertuples()} == rank
     # non-vacuous: authority actually differentiates hosts
     assert got["hostrank_e12"].nunique() > 1
+
+
+# ── incremental KG maintenance ──
+
+
+def test_kg_increment_set_algebra(ray_session):
+    """Applying the signed diff to the base triple set must reproduce
+    the full set exactly — base derived independently via DuckDB."""
+    from hinbox_ray.sources.planted import triples_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    base = {
+        tuple(r)
+        for r in con.execute(triples_oracle_sql("doc_id >= 20")).fetchall()
+    }
+    con.close()
+
+    full = {
+        (r.subj, r.pred, r.obj)
+        for r in E.queries()["kg_triples_planted"](SF)
+        .to_pandas()
+        .itertuples()
+    }
+    diff = E.queries()["kg_increment_planted"](SF).to_pandas()
+    plus = {
+        (r.subj, r.pred, r.obj)
+        for r in diff[diff["delta"] == "+"].itertuples()
+    }
+    minus = {
+        (r.subj, r.pred, r.obj)
+        for r in diff[diff["delta"] == "-"].itertuples()
+    }
+    # both branches non-vacuous: the backfill re-elects a canonical name
+    assert plus and minus
+    assert plus.isdisjoint(base) and minus <= base and plus <= full
+    assert (base | plus) - minus == full
