@@ -176,8 +176,8 @@ def canonical_url(url: str) -> Optional[str]:
             p for p in query.split("&") if not p.lower().startswith("utm_")
         ]
         query = "&".join(kept)
-    if len(path) > 1 and path.endswith("/"):
-        path = path[:-1]
-    if not path:
-        path = "/"
+    # strip ALL trailing slashes (a single-slash strip is not
+    # idempotent: '///' → '//' → '/' — caught by the hypothesis
+    # idempotence property in tests/test_linkgraph.py)
+    path = path.rstrip("/") or "/"
     return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")

@@ -329,3 +329,60 @@ def test_kg_increment_set_algebra(ray_session):
     assert plus and minus
     assert plus.isdisjoint(base) and minus <= base and plus <= full
     assert (base | plus) - minus == full
+
+
+# ── kernel robustness ──
+
+
+def test_canonical_url_idempotent():
+    """Canonicalization is a projection: applying it twice = once (the
+    property that makes canonical URLs safe as dedup keys)."""
+    from hinbox_ray.functions.links import canonical_url
+
+    from hypothesis import given, settings, strategies as st
+
+    host = st.from_regex(r"[a-zA-Z0-9.\-]{1,20}", fullmatch=True)
+    path = st.from_regex(r"(/[a-zA-Z0-9._\-]{0,8}){0,4}/?", fullmatch=True)
+    query = st.from_regex(
+        r"(\?[a-zA-Z0-9_]{1,8}=[a-zA-Z0-9]{0,6}(&[a-zA-Z0-9_]{1,8}=[a-zA-Z0-9]{0,6}){0,3})?",
+        fullmatch=True,
+    )
+    frag = st.sampled_from(["", "#x", "#frag-1"])
+    scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme, host, port, path, query, frag)
+    def check(sc, h, po, pa_, q, f):
+        url = f"{sc}://{h}{po}{pa_}{q}{f}"
+        c1 = canonical_url(url)
+        if c1 is not None:
+            assert canonical_url(c1) == c1, (url, c1, canonical_url(c1))
+
+    check()
+
+
+def test_link_kernels_survive_garbage():
+    from hinbox_ray.functions.links import (
+        canonical_url,
+        extract_anchors,
+        extract_hrefs,
+    )
+
+    garbage = [
+        b"",
+        b"\x00\xff\xfe<a href=",
+        b"<a href='" + b"x" * 100_000 + b"'>big</a>",
+        "<a href=  >odd whitespace</a>".encode(),
+        b"<!--<a href='http://c.example'>commented out</a>-->",
+        b"<<<<>>>> &notanentity; <a <a <a",
+        "<a href='http://ü.example/p'>idn</a>".encode(),
+    ]
+    for g in garbage:
+        hrefs = extract_hrefs(g)
+        anchors = extract_anchors(g)
+        assert [h for h, _ in anchors] == hrefs  # consistent views
+        for h in hrefs:
+            canonical_url(h)  # never raises
+    # commented-out anchors contribute nothing (tokenizer, not regex)
+    assert extract_hrefs(garbage[4]) == []
