@@ -38,7 +38,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # latency at both parallelism levels.
 KG_REPEAT = int(os.environ.get("GRAFT_KG_REPEAT", "200"))
 KG_BATCH = int(os.environ.get("GRAFT_KG_BATCH", "4096"))
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "1000"))
+# 2000 = 10M pages: the round-5 extraction speedup moved the
+# fixed-cost crossover — at 5M the 32-cpu leg now finishes in ~35 s
+# and startup/scheduling fixed costs read as false inefficiency (0.73
+# at 5M vs 0.82 at 10M on the same code, both measured 2026-08-19).
+# The representative scale for a 100-TB design is the compute-bound
+# regime, so the default follows the code's speed.
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "2000"))
 
 # Headline set: the KG flagship plus the heavy non-KG pipelines.
 # GRAFT_BENCH_QUERIES (comma-separated) narrows the set — the scaling
