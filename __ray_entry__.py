@@ -2044,6 +2044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-parquet ingest parity: dedup over a sharded-JSONL
         # round-trip vs the parquet-reading oracle
         "doc_dedup_exact_jsonl": T.doc_dedup_exact_jsonl,
+        # ── 41+: session-2 round-5 additions ──────────────────────────
+        # weighted (length-proportional) priority sampling, DLT 2007
+        "doc_priority_sample": T.doc_priority_sample,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -2928,6 +2931,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_reservoir_sample": """
             SELECT doc_id, md5_number_lower(doc_id::VARCHAR) AS smp_h
             FROM documents ORDER BY smp_h, doc_id LIMIT 100
+        """,
+        # priority sampling: q = (w << 32) // (u32 + 1), u32 = the top
+        # half of the salted md5 key — same integer the Ray kernel
+        # computes (doc_priority_sample's exactness contract)
+        "doc_priority_sample": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END + 1)::BIGINT AS weight
+                FROM documents
+            )
+            SELECT doc_id, weight,
+                   ((weight::UBIGINT << 32)
+                    // ((md5_number_lower('ps:' || doc_id::VARCHAR) >> 32)
+                        + 1))::BIGINT AS priority
+            FROM t
+            ORDER BY priority DESC, doc_id LIMIT 100
         """,
         "doc_stratified_sample": """
             SELECT source, doc_id, smp_h FROM (

@@ -4545,6 +4545,89 @@ def doc_reservoir_sample(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     )
 
 
+def doc_priority_sample(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Weighted k-sample via PRIORITY SAMPLING (Duffield, Lund &
+    Thorup, JACM 2007): each doc gets priority q = w / u with u uniform
+    in (0, 1], and the k largest priorities form the sample — items are
+    included with probability proportional to weight (here the
+    whitespace token count + 1, i.e. longer documents are
+    proportionally more likely to be kept — the quality/length-weighted
+    data-selection primitive a curation pipeline uses where the uniform
+    reservoir sample would under-select long documents).
+
+    Exactness contract: u is the TOP 32 bits of md5('ps:' || doc_id)
+    (salted so the sample is independent of doc_reservoir_sample's
+    permutation), and q = (w << 32) // (u32 + 1) in pure int64 — the
+    DuckDB oracle computes the identical integer, so the driver
+    value-hashes the sample. Ties break on doc_id.
+
+    Emits (doc_id, weight, priority) sorted by (priority DESC, doc_id).
+
+    Scale plan: identical to the reservoir sampler — every block
+    pre-thins to its own k largest priorities (combiner), the final
+    reduce sees only blocks × k rows in one task; weights never require
+    a global pass (unlike e.g. normalized Efraimidis–Spirakis keys).
+    No corpus-scale shuffle, no driver-side corpus state.
+    """
+
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        w = np.fromiter(
+            (len(t.split()) + 1 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        u32 = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"ps:{int(d)}".encode()).digest()[8:],
+                    "little",
+                )
+                >> 32
+                for d in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        q = (w << np.int64(32)) // (u32 + 1)
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "weight": pd.Series(w, dtype=np.int64),
+                "priority": pd.Series(q, dtype=np.int64),
+            }
+        )
+        return df.sort_values(
+            ["priority", "doc_id"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "weight": pd.Series([], dtype=np.int64),
+                    "priority": pd.Series([], dtype=np.int64),
+                }
+            )
+        return df.sort_values(
+            ["priority", "doc_id"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+        .sort(["priority", "doc_id"], descending=[True, False])
+    )
+
+
 def doc_stratified_sample(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """Per-source uniform k-sample: the k docs with the smallest
     md5(doc_id) WITHIN each source — the stratified carve every

@@ -359,3 +359,38 @@ def test_bfs_depth_matches_python_bfs(ray_session):
     for r in got.itertuples():
         assert r.depth == depth.get(r.subj, -1), (r.subj, r.depth)
     assert int(got.loc[got["subj"] == src, "depth"].iloc[0]) == 0
+
+
+def test_priority_sample_is_topk_and_weight_sensitive(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import doc_priority_sample
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    w = docs["text"].map(lambda t: len(t.split()) + 1).to_numpy(np.int64)
+    u32 = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(f"ps:{int(d)}".encode()).digest()[8:], "little"
+            )
+            >> 32
+            for d in docs["doc_id"]
+        ),
+        dtype=np.int64,
+        count=len(docs),
+    )
+    q = (w << np.int64(32)) // (u32 + 1)
+    order = np.lexsort((docs["doc_id"].to_numpy(), -q))
+    want = docs["doc_id"].to_numpy()[order[:100]]
+    got = doc_priority_sample(SF).to_pandas()
+    # exact top-k of the independently recomputed priorities, in order
+    assert got["doc_id"].tolist() == want.tolist()
+    assert (got["priority"].to_numpy() == q[order[:100]]).all()
+    # weighted inclusion: the sample's mean weight must exceed the
+    # corpus mean (longer docs are proportionally more likely) — the
+    # property that distinguishes this from the uniform reservoir
+    assert got["weight"].mean() > w.mean()
