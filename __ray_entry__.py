@@ -362,6 +362,154 @@ def _kg_pagerank_planted(sf_dir: str, iters: int = 3) -> Any:
     return ranks.map_batches(finalize, batch_format="pandas").sort("subj")
 
 
+def _kg_neighbor_agg_planted(
+    sf_dir: str, min_docs: int = 4, rounds: int = 2
+) -> Any:
+    """GraphSAGE-mean-style neighbor feature aggregation over the
+    strong co-mention graph (edges seen in >= ``min_docs`` documents) —
+    the GNN message-passing primitive (feature smoothing / Laplacian
+    diffusion), a FOURTH recurrence family beside the sum (pagerank),
+    deletion (k-core), mode-argmax (labelprop) and min-frontier (BFS)
+    kernels: each round averages a node's own feature with the mean of
+    its neighbors' features.
+
+    Exactness contract: the seed feature is the node degree and the
+    recurrence is f_{t+1}(v) = (f_t(v) + (Σ_{u~v} f_t(u)) // deg(v))
+    // 2 in pure int64 floors, so the DuckDB oracle unrolls the same
+    ``rounds`` rounds and matches hash-exactly. Every node in the edge
+    table has deg >= 1, so the neighbor-sum join is total.
+
+    Emits (subj, f0, f1, f2) sorted by subj — the full smoothing
+    trajectory, so the hash pins every round, not just the fixpoint.
+
+    Scale plan: one round = the same two bucketed co-groups as the
+    pagerank step (scatter f_t along out-edges on src-hash, gather the
+    neighbor sum on dst-hash); the f0..f_t history rides inside the
+    node-state rows (entity-vocabulary scale), driver state is zero,
+    and T rounds = 2T shuffles on the same 512-bucket key space.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    com = _kg_comention_planted(sf_dir)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["n_docs"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [s["ea"], s["eb"]], ignore_index=True
+                ).astype(object),
+                "dst": pd.concat(
+                    [s["eb"], s["ea"]], ignore_index=True
+                ).astype(object),
+            }
+        )
+
+    edges = com.map_batches(both_dirs, batch_format="pandas")
+
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False, sort=True).size()
+        return pd.DataFrame(
+            {
+                "key": g["key"].astype(object),
+                "deg": g["size"].astype(np.int64),
+            }
+        )
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "deg": pd.Series([int(g["deg"].sum())], dtype=np.int64),
+            }
+        )
+
+    deg = bucketed_map_groups(
+        edges.map_batches(local_deg, batch_format="pandas"), "key", sum_deg
+    )
+
+    # One shared row schema for state / edge / contrib rows so union +
+    # co-group works: (key, dst, deg, fs, val, kind). ``fs`` is the
+    # '|'-joined feature history (f0..f_t); kind 1=state, 0=edge,
+    # 2=contrib.
+    def seed_state(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "dst": pd.Series([""] * len(df), dtype=object),
+                "deg": df["deg"].astype(np.int64),
+                "fs": df["deg"].astype(np.int64).astype(str).astype(object),
+                "val": np.zeros(len(df), dtype=np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype(object),
+                "dst": df["dst"].astype(object),
+                "deg": pd.Series(z),
+                "fs": pd.Series([""] * len(df), dtype=object),
+                "val": pd.Series(z),
+                "kind": pd.Series(z),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 1].iloc[0]
+        f_t = int(st["fs"].rsplit("|", 1)[-1])
+        es = g[g["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "key": es["dst"].to_numpy(),
+                "dst": pd.Series([""] * len(es), dtype=object),
+                "deg": np.zeros(len(es), dtype=np.int64),
+                "fs": pd.Series([""] * len(es), dtype=object),
+                "val": np.full(len(es), f_t, dtype=np.int64),
+                "kind": np.full(len(es), 2, dtype=np.int64),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 1].iloc[0]
+        s = int(g.loc[g["kind"] == 2, "val"].sum())
+        f_t = int(st["fs"].rsplit("|", 1)[-1])
+        deg_v = int(st["deg"])
+        f_next = (f_t + s // deg_v) // 2
+        return pd.DataFrame(
+            {
+                "key": [st["key"]],
+                "dst": pd.Series([""], dtype=object),
+                "deg": pd.Series([deg_v], dtype=np.int64),
+                "fs": pd.Series([f"{st['fs']}|{f_next}"], dtype=object),
+                "val": pd.Series([0], dtype=np.int64),
+                "kind": pd.Series([1], dtype=np.int64),
+            }
+        )
+
+    state = deg.map_batches(seed_state, batch_format="pandas")
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas")
+    for _ in range(rounds):
+        contribs = bucketed_map_groups(
+            state.union(tagged_edges), "key", scatter
+        )
+        state = bucketed_map_groups(contribs.union(state), "key", gather)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["fs"].str.split("|", expand=True).astype(np.int64)
+        out = pd.DataFrame({"subj": df["key"].astype(object)})
+        for t in range(rounds + 1):
+            out[f"f{t}"] = parts[t].to_numpy(dtype=np.int64)
+        return out
+
+    return state.map_batches(finalize, batch_format="pandas").sort("subj")
+
+
 def _kg_components_planted(sf_dir: str, min_docs: int = 8) -> Any:
     """Connected components of the strong co-mention graph (edges seen
     in >= ``min_docs`` documents) — the community-detection consumer of
@@ -2047,6 +2195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ── 41+: session-2 round-5 additions ──────────────────────────
         # weighted (length-proportional) priority sampling, DLT 2007
         "doc_priority_sample": T.doc_priority_sample,
+        # GNN message-passing primitive: mean neighbor-feature smoothing
+        "kg_neighbor_agg_planted": _kg_neighbor_agg_planted,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -2641,6 +2791,48 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY ea, eb
     """.replace("{triples}", triples_oracle_sql())
 
+    # GraphSAGE-mean neighbor aggregation unrolled round by round —
+    # same floor recurrence as _kg_neighbor_agg_planted:
+    # f_{t+1}(v) = (f_t(v) + (Σ_{u~v} f_t(u)) // deg(v)) // 2
+    _na_rounds = []
+    for _t in range(1, 3):
+        _na_rounds.append(f"""
+            s{_t} AS MATERIALIZED (
+                SELECT e.dst AS node, sum(p.f)::BIGINT AS s
+                FROM e JOIN f{_t - 1} p ON e.src = p.node
+                GROUP BY e.dst
+            ),
+            f{_t} AS MATERIALIZED (
+                SELECT p.node, p.deg,
+                       ((p.f + s{_t}.s // p.deg) // 2)::BIGINT AS f
+                FROM f{_t - 1} p JOIN s{_t} ON s{_t}.node = p.node
+            )""")
+    _NEIGHBOR_AGG_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({{triples}})
+            WHERE pred = 'mentioned_in'
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb HAVING count(*) >= 4
+        ),
+        e AS MATERIALIZED (
+            SELECT ea AS src, eb AS dst FROM e0
+            UNION ALL SELECT eb, ea FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src
+        ),
+        f0 AS MATERIALIZED (SELECT node, deg, deg AS f FROM deg),
+        {','.join(_na_rounds)}
+        SELECT f0.node AS subj, f0.f AS f0, f1.f AS f1, f2.f AS f2
+        FROM f0
+        JOIN f1 ON f1.node = f0.node
+        JOIN f2 ON f2.node = f0.node
+        ORDER BY subj
+    """.replace("{triples}", triples_oracle_sql())
+
     _KNN_EXACT_SQL = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -2861,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN cnt USING (subj) ORDER BY subj
         """,
         "kg_labelprop_planted": _LABELPROP_SQL,
+        "kg_neighbor_agg_planted": _NEIGHBOR_AGG_SQL,
         "kg_linkpred_planted": _LINKPRED_SQL,
         # BFS depths: depth-bounded recursive closure + min(d) agrees
         # with the fixed-round frontier expansion whenever rounds >=

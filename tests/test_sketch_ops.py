@@ -394,3 +394,37 @@ def test_priority_sample_is_topk_and_weight_sensitive(ray_session):
     # corpus mean (longer docs are proportionally more likely) — the
     # property that distinguishes this from the uniform reservoir
     assert got["weight"].mean() > w.mean()
+
+
+def test_neighbor_agg_matches_python_sim(ray_session):
+    """kg_neighbor_agg_planted (2 mean-smoothing rounds) vs an
+    independent dict-based simulation of the same floor recurrence —
+    pins every round of the trajectory and that smoothing actually
+    moves values (f1 != f0 somewhere, so the rounds are non-vacuous)."""
+    from collections import defaultdict
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 4]
+    adj = defaultdict(set)
+    for a, b in zip(strong["ea"], strong["eb"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    f = {v: len(adj[v]) for v in adj}
+    hist = {v: [f[v]] for v in adj}
+    for _ in range(2):
+        nf = {
+            v: (f[v] + sum(f[u] for u in adj[v]) // len(adj[v])) // 2
+            for v in adj
+        }
+        f = nf
+        for v in adj:
+            hist[v].append(f[v])
+
+    got = E._kg_neighbor_agg_planted(SF).to_pandas()
+    assert len(got) == len(adj)
+    for r in got.itertuples():
+        assert [r.f0, r.f1, r.f2] == hist[r.subj], (r.subj,)
+    assert (got["f1"] != got["f0"]).any()
+    assert (got["f2"] != got["f1"]).any()
