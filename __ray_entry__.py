@@ -2197,6 +2197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_priority_sample": T.doc_priority_sample,
         # GNN message-passing primitive: mean neighbor-feature smoothing
         "kg_neighbor_agg_planted": _kg_neighbor_agg_planted,
+        # hopping windows (width 6h, step 2h): overlapping-window counts
+        "events_sliding_window": A.events_sliding_window,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -3102,6 +3104,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ), -1)::BIGINT AS delta_us
             FROM events ORDER BY event_id
+        """,
+        # hopping windows: each event expands to width/step = 3 step
+        # rows; make_timestamp keeps the window label naive like ts
+        "events_sliding_window": """
+            WITH c AS (
+                SELECT (epoch_us(ts) // 7200000000) - u.j AS wstep,
+                       event_type, user_id
+                FROM events, unnest([0, 1, 2]) AS u(j)
+            )
+            SELECT strftime(make_timestamp(wstep * 7200000000),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM c GROUP BY wstep, event_type
+            ORDER BY window_start, event_type
         """,
         "events_hourly_gapfill": """
             WITH c AS (

@@ -1320,6 +1320,88 @@ def events_hourly_gapfill(sf_dir: str) -> ray.data.Dataset:
     ).sort(["event_type", "hour"])
 
 
+def events_sliding_window(
+    sf_dir: str, width_hours: int = 6, step_hours: int = 2
+) -> ray.data.Dataset:
+    """Hopping-window aggregation (width 6 h, step 2 h): per
+    (window_start, event_type) event counts AND distinct users, where
+    consecutive windows OVERLAP — the streaming-analytics shape
+    (sliding trend lines, rate alarms) that tumbling buckets
+    (events_daily / events_hourly_gapfill) cannot express because each
+    event belongs to width/step = 3 windows at once.
+
+    Semantics: window [w, w+width) with w on the step grid; an event at
+    t lands in windows w = (t//step − j)·step for j in 0..2, so only
+    windows with ≥1 event appear (both engines derive windows from the
+    events themselves — no empty-window generation; that shape is
+    events_hourly_gapfill's).
+
+    Scale plan: the ×3 row amplification happens inside a per-block
+    combiner that immediately re-groups to (window, type, user) partial
+    counts, so the shuffle carries at most windows × types × active
+    users rows, never 3× the corpus; one (type, window)-hash co-group
+    merges partials and counts distinct users vectorized. No driver
+    state.
+    """
+    import numpy as np
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    step_us = step_hours * 3_600_000_000
+    n_win = width_hours // step_hours
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        k = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // step_us
+        ).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "wstep": np.concatenate([k - j for j in range(n_win)]),
+                "event_type": np.tile(et, n_win),
+                "user_id": np.tile(uid, n_win),
+            }
+        )
+        g = (
+            df.groupby(["wstep", "event_type", "user_id"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby("user_id", sort=False)["n"].sum()
+        w = int(g["wstep"].iloc[0])
+        start = pd.to_datetime(w * step_hours * 3600, unit="s").strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        return pd.DataFrame(
+            {
+                "window_start": pd.Series([start], dtype=object),
+                "event_type": pd.Series(
+                    [g["event_type"].iloc[0]], dtype=object
+                ),
+                "n_events": pd.Series(
+                    [int(per_user.sum())], dtype=np.int64
+                ),
+                "n_users": pd.Series([len(per_user)], dtype=np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "user_id"])
+    return bucketed_map_groups(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        ["wstep", "event_type"],
+        merge,
+    ).sort(["window_start", "event_type"])
+
+
 def events_rollup(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY ROLLUP(event_type, day): per-(type, day) counts plus
     per-type subtotals (day = -1) and a grand total (type = 'ALL').

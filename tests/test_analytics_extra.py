@@ -185,3 +185,49 @@ def test_interarrival_matches_pandas_lag(ray_session):
     assert (got["delta_us"] == -1).sum() == ev["user_id"].nunique()
     for r in got.itertuples():
         assert r.delta_us == truth[r.event_id], r.event_id
+
+
+def test_sliding_window_matches_pandas_expansion(ray_session):
+    """Hopping windows vs a brute-force pandas expansion: every event
+    appears in exactly width/step = 3 windows (mass conservation at
+    3x), per-window counts and distinct users match, and overlap is
+    real (some user is counted in two overlapping windows)."""
+    from hinbox_ray.pipelines.analytics import events_sliding_window
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type", "user_id"]
+    ).to_pandas()
+    k = (ev["ts"].astype("int64") // 7_200_000_000).to_numpy()
+    rows = []
+    for j in range(3):
+        rows.append(
+            pd.DataFrame(
+                {
+                    "wstep": k - j,
+                    "event_type": ev["event_type"].to_numpy(),
+                    "user_id": ev["user_id"].to_numpy(),
+                }
+            )
+        )
+    exp = pd.concat(rows, ignore_index=True)
+    want = (
+        exp.groupby(["wstep", "event_type"])
+        .agg(n_events=("user_id", "size"), n_users=("user_id", "nunique"))
+        .reset_index()
+    )
+    want["window_start"] = pd.to_datetime(
+        want["wstep"] * 7200, unit="s"
+    ).dt.strftime("%Y-%m-%d %H:%M:%S")
+
+    got = events_sliding_window(SF).to_pandas()
+    assert int(got["n_events"].sum()) == 3 * len(ev)  # 3x mass
+    merged = got.merge(
+        want, on=["window_start", "event_type"], how="outer", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["n_events_x"] == merged["n_events_y"]).all()
+    assert (merged["n_users_x"] == merged["n_users_y"]).all()
+    # overlap is non-vacuous: distinct-user sum over windows exceeds
+    # what disjoint windows could give (some user double-counted)
+    tumbling = exp[exp["wstep"] % 3 == 0]
+    assert int(got["n_users"].sum()) > tumbling["user_id"].nunique()
