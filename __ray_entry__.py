@@ -1917,6 +1917,210 @@ def _kg_hostrank_planted(sf_dir: str, iters: int = 3) -> Any:
     return ranks.map_batches(finalize, batch_format="pandas").sort("host")
 
 
+def _kg_hits_planted(sf_dir: str, rounds: int = 2) -> Any:
+    """HITS hubs & authorities (Kleinberg 1999) over the REAL extracted
+    host graph — the MUTUAL-recursion kernel family (two coupled score
+    vectors alternating a→h→a), distinct from the single-vector
+    recurrences (pagerank/hostrank sums, k-core deletion, labelprop
+    mode, BFS min, neighbor-agg mean): auth(v) = Σ_{u→v} w·hub(u),
+    hub(u) = Σ_{u→v} w·auth(v), each L1-normalized to the e6 grid
+    after every half-step.
+
+    Exactness contract (integer, e6): hub₀ = 10⁶ // N over all hosts;
+    raw scores are exact int64 sums; normalization is
+    x' = (10⁶ · x_raw) // Σ x_raw computed in arbitrary-precision
+    Python ints (the oracle uses HUGEINT for the same product — int64
+    would overflow the 10⁶·raw product beyond ~10⁶-page corpora).
+    Hosts with no in-links get auth 0, no out-links get hub 0 (total
+    LEFT-join semantics both sides). The DuckDB oracle re-derives the
+    host edges from the md5 plant plan and unrolls the same ``rounds``
+    rounds, so the driver value-hashes both final vectors.
+
+    Scale plan: the host graph is vocabulary-scale (hosts ≪ pages), so
+    the edge table materializes once; each half-step is two bucketed
+    co-groups (scatter w·score along the edge on one endpoint's hash,
+    gather sums on the other's) and the normalizer is ONE driver
+    scalar per half-step (Σ over the host-vocabulary score table —
+    never corpus-scale). 2 rounds = 8 co-group shuffles + 4 scalar
+    reduces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    SCALE = 10**6
+    hg = _kg_hostgraph_planted(sf_dir).materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat(
+                    [df["src_host"], df["dst_host"]], ignore_index=True
+                ).astype(object)
+            }
+        )
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    nodes = bucketed_map_groups(
+        hg.map_batches(node_rows, batch_format="pandas"), "node", first_row
+    ).materialize()
+    n_nodes = nodes.count()
+    s0 = SCALE // n_nodes
+
+    def tag_edges(key_col: str, other_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df[key_col].astype(object),
+                    "other": df[other_col].astype(object),
+                    "w": df["n_links"].astype(np.int64),
+                    "val": np.zeros(len(df), dtype=np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int64),
+                }
+            )
+
+        return fn
+
+    e_by_src = hg.map_batches(
+        tag_edges("src_host", "dst_host"), batch_format="pandas"
+    ).materialize()
+    e_by_dst = hg.map_batches(
+        tag_edges("dst_host", "src_host"), batch_format="pandas"
+    ).materialize()
+
+    def tag_score(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype(object),
+                "other": pd.Series([""] * len(df), dtype=object),
+                "w": np.zeros(len(df), dtype=np.int64),
+                "val": df[col].astype(np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        score = int(g.loc[g["kind"] == 1, "val"].iloc[0])
+        es = g[g["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "key": es["other"].to_numpy(),
+                "val": es["w"].to_numpy(dtype=np.int64) * score,
+                "kind": np.zeros(len(es), dtype=np.int64),
+            }
+        )
+
+    def tag_node_sink(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["node"].astype(object),
+                "val": np.zeros(len(df), dtype=np.int64),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        raw = int(g.loc[g["kind"] == 0, "val"].sum())
+        return pd.DataFrame(
+            {
+                "node": [g["key"].iloc[0]],
+                "raw": pd.Series([raw], dtype=np.int64),
+            }
+        )
+
+    node_sink = nodes.map_batches(
+        tag_node_sink, batch_format="pandas"
+    ).materialize()
+
+    def half_step(scores, in_col: str, out_col: str, edges) -> Any:
+        """scores(node, in_col) × edges(key→other) → normalized
+        (node, out_col) on the OTHER endpoint."""
+        contribs = bucketed_map_groups(
+            scores.map_batches(
+                lambda df: tag_score(df, in_col), batch_format="pandas"
+            ).union(edges),
+            "key",
+            scatter,
+        )
+        raw = bucketed_map_groups(
+            contribs.union(node_sink), "key", gather
+        ).materialize()
+        total = int(
+            raw.map_batches(
+                lambda df: pd.DataFrame(
+                    {"s": pd.Series([int(df["raw"].sum())], dtype=np.int64)}
+                ),
+                batch_format="pandas",
+            ).sum("s")
+        )
+
+        def normalize(df: pd.DataFrame) -> pd.DataFrame:
+            vals = [
+                (SCALE * int(r)) // total if total else 0
+                for r in df["raw"]
+            ]
+            return pd.DataFrame(
+                {
+                    "node": df["node"].astype(object),
+                    out_col: pd.Series(vals, dtype=np.int64),
+                }
+            )
+
+        return raw.map_batches(normalize, batch_format="pandas")
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype(object),
+                "hub": np.full(len(df), s0, dtype=np.int64),
+            }
+        )
+
+    hubs = nodes.map_batches(seed, batch_format="pandas")
+    auths = None
+    for _ in range(rounds):
+        # auth gathers on dst (scatter hubs along src-keyed edges)
+        auths = half_step(hubs, "hub", "auth", e_by_src)
+        # hub gathers on src (scatter auths along dst-keyed edges)
+        hubs = half_step(auths, "auth", "hub", e_by_dst)
+
+    def tag_final(col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"].astype(object),
+                    "auth": df[col].astype(np.int64)
+                    if col == "auth"
+                    else np.zeros(len(df), dtype=np.int64),
+                    "hub": df[col].astype(np.int64)
+                    if col == "hub"
+                    else np.zeros(len(df), dtype=np.int64),
+                }
+            )
+
+        return fn
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": [g["node"].iloc[0]],
+                "auth_e6": pd.Series([int(g["auth"].sum())], dtype=np.int64),
+                "hub_e6": pd.Series([int(g["hub"].sum())], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        auths.map_batches(tag_final("auth"), batch_format="pandas").union(
+            hubs.map_batches(tag_final("hub"), batch_format="pandas")
+        ),
+        "node",
+        merge,
+    ).sort("host")
+
+
 def _pages_url_canonicalize(sf_dir: str) -> Any:
     """Crawl URL canonicalization + canonical-URL dedup over the
     md5-planted messy-URL corpus — the FIRST pass of every web crawl
@@ -2199,6 +2403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_agg_planted": _kg_neighbor_agg_planted,
         # hopping windows (width 6h, step 2h): overlapping-window counts
         "events_sliding_window": A.events_sliding_window,
+        # HITS hubs/authorities over the extracted host graph (mutual
+        # recursion, L1-normalized to the e6 grid each half-step)
+        "kg_hits_planted": _kg_hits_planted,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -2913,6 +3120,71 @@ def oracle_sql() -> dict[str, str]:
         FROM {_hr_prev} ORDER BY host
     """
 
+    # HITS rounds over the same plant-plan host graph, unrolled with
+    # _kg_hits_planted's floor arithmetic: raw = Σ w·score gathered on
+    # the other endpoint, then L1-normalize to the e6 grid (HUGEINT for
+    # the 10⁶·raw product — see the op docstring's int64 bound)
+    _hits_rounds = []
+    for _t in range(1, 3):
+        _hits_rounds.append(f"""
+            ar{_t} AS MATERIALIZED (
+                SELECT e.dst AS node, sum(e.w * p.score)::BIGINT AS raw
+                FROM he e JOIN hb{_t - 1} p ON p.node = e.src
+                GROUP BY e.dst
+            ),
+            at{_t} AS MATERIALIZED (
+                SELECT n.node,
+                       ((1000000::HUGEINT * coalesce(ar{_t}.raw, 0))
+                        // (SELECT sum(raw)::HUGEINT FROM ar{_t})
+                       )::BIGINT AS score
+                FROM hnodes n LEFT JOIN ar{_t} ON ar{_t}.node = n.node
+            ),
+            hr{_t}x AS MATERIALIZED (
+                SELECT e.src AS node, sum(e.w * p.score)::BIGINT AS raw
+                FROM he e JOIN at{_t} p ON p.node = e.dst
+                GROUP BY e.src
+            ),
+            hb{_t} AS MATERIALIZED (
+                SELECT n.node,
+                       ((1000000::HUGEINT * coalesce(hr{_t}x.raw, 0))
+                        // (SELECT sum(raw)::HUGEINT FROM hr{_t}x)
+                       )::BIGINT AS score
+                FROM hnodes n LEFT JOIN hr{_t}x ON hr{_t}x.node = n.node
+            )""")
+    _HITS_SQL = f"""
+        WITH n0 AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        hk AS (
+            SELECT doc_id,
+                   CAST(1 + (md5_number_lower('nl:' || doc_id) % 3)
+                        AS BIGINT) AS n_links
+            FROM documents
+        ),
+        hl AS (
+            SELECT hk.doc_id,
+                   CAST(md5_number_lower('link:' || hk.doc_id || ':' || u.j)
+                        % (SELECT n_docs FROM n0) AS BIGINT) AS dst
+            FROM hk, unnest(range(hk.n_links)) AS u(j)
+        ),
+        he AS MATERIALIZED (
+            SELECT 'h' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS src,
+                   'h' || CAST(dst % 101 AS VARCHAR) || '.example' AS dst,
+                   count(*)::BIGINT AS w
+            FROM hl GROUP BY src, dst
+        ),
+        hnodes AS (SELECT src AS node FROM he UNION SELECT dst FROM he),
+        hn AS (SELECT count(*)::BIGINT AS n FROM hnodes),
+        hb0 AS (
+            SELECT node, (1000000 // hn.n)::BIGINT AS score
+            FROM hnodes, hn
+        ),
+        {','.join(_hits_rounds)}
+        SELECT n.node AS host, at2.score AS auth_e6, hb2.score AS hub_e6
+        FROM hnodes n
+        JOIN at2 ON at2.node = n.node
+        JOIN hb2 ON hb2.node = n.node
+        ORDER BY host
+    """
+
     return {
         # flagship KG over the md5-planted corpus: DuckDB independently
         # rebuilds the ground-truth graph from the plant plan + the
@@ -2997,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_url_canonicalize": url_canonicalize_oracle_sql(),
         # weighted directed PageRank over the plant-plan host graph
         "kg_hostrank_planted": _HOSTRANK_SQL,
+        "kg_hits_planted": _HITS_SQL,
         # signed increment diff: both ground-truth sets derived from the
         # (un)filtered plant plans, EXCEPTed both ways
         "kg_increment_planted": f"""

@@ -386,3 +386,35 @@ def test_link_kernels_survive_garbage():
             canonical_url(h)  # never raises
     # commented-out anchors contribute nothing (tokenizer, not regex)
     assert extract_hrefs(garbage[4]) == []
+
+
+def test_hits_matches_bruteforce(ray_session):
+    """Independent dense integer-HITS loop over the brute-force host
+    graph — same floor arithmetic (L1-normalize to the e6 grid after
+    every half-step) with arbitrary-precision ints, no shared code with
+    the Ray kernel or the SQL oracle."""
+    SCALE = 10**6
+    edges = _brute_hostgraph(_doc_ids())
+    nodes = sorted({k[0] for k in edges} | {k[1] for k in edges})
+    hub = {v: SCALE // len(nodes) for v in nodes}
+    auth = None
+    for _ in range(2):
+        raw = {v: 0 for v in nodes}
+        for (src, dst), w in edges.items():
+            raw[dst] += w * hub[src]
+        s = sum(raw.values())
+        auth = {v: (SCALE * raw[v]) // s for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for (src, dst), w in edges.items():
+            raw[src] += w * auth[dst]
+        s = sum(raw.values())
+        hub = {v: (SCALE * raw[v]) // s for v in nodes}
+
+    got = E.queries()["kg_hits_planted"](SF).to_pandas()
+    assert {r.host: r.auth_e6 for r in got.itertuples()} == auth
+    assert {r.host: r.hub_e6 for r in got.itertuples()} == hub
+    # non-vacuous: both vectors differentiate hosts and differ from
+    # each other (directed weights are asymmetric)
+    assert got["auth_e6"].nunique() > 1
+    assert got["hub_e6"].nunique() > 1
+    assert (got["auth_e6"] != got["hub_e6"]).any()
