@@ -1535,6 +1535,194 @@ def _kg_labelprop_planted(
     return labels.map_batches(finalize, batch_format="pandas").sort("subj")
 
 
+def _kg_modularity_planted(sf_dir: str, min_docs: int = 6) -> Any:
+    """Newman modularity decomposition of the label-propagation
+    communities over the strong co-mention graph — the clustering
+    QUALITY metric (how much denser inside communities than a random
+    graph with the same degrees), the standard acceptance gate on any
+    community detection before it ships. Composes two shipped ops: the
+    ``_kg_labelprop_planted`` partition and the min_docs=6 edge table.
+
+    Exactness contract (integer, e9): per community c,
+    q_e9 = (10⁹·e_c) // m − (10⁹·d_c²) // (4·m²) with e_c = intra-
+    community edge count, d_c = degree sum, m = total undirected edges
+    — two separate floors, computed with arbitrary-precision Python
+    ints on the Ray side and HUGEINT products in the DuckDB oracle
+    (10⁹·d_c² overflows int64 once m exceeds ~1500; the strong entity
+    graph is vocabulary-scale so HUGEINT covers any real corpus). The
+    oracle re-runs the full 7-round labelprop unroll, so the composed
+    pipeline (communities → per-community edge/degree rollups → Q) is
+    value-hash-checked end to end.
+
+    Emits (community, n_nodes, intra_edges, deg_sum, q_e9) sorted by
+    community; Σ q_e9 is the graph's modularity on the e9 grid.
+
+    Scale plan: two node-hash co-groups attach each endpoint's label
+    to the edge table, then community-hash rollups; m is one driver
+    scalar. Everything shuffled is edge- or community-scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hinbox_ray.stages.cogroup import bucketed_map_groups
+
+    labels = _kg_labelprop_planted(sf_dir, min_docs=min_docs).materialize()
+    com = _kg_comention_planted(sf_dir)
+
+    def strong(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["n_docs"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "ea": s["ea"].astype(object),
+                "eb": s["eb"].astype(object),
+            }
+        )
+
+    e0 = com.map_batches(strong, batch_format="pandas").materialize()
+    m_edges = e0.count()  # entity-graph-scale driver scalar
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["subj"].astype(object),
+                "other": pd.Series([""] * len(df), dtype=object),
+                "lbl": df["community"].astype(object),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def tag_edge_by(df: pd.DataFrame, key: str, other: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.Series(df[key].to_numpy(), dtype=object),
+                "other": pd.Series(df[other].to_numpy(), dtype=object),
+                "lbl": pd.Series([""] * len(df), dtype=object),
+                "kind": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["kind"] == 1, "lbl"].iloc[0]
+        es = g[g["kind"] == 0]
+        # pass the edge through keyed by the OTHER endpoint, carrying
+        # this endpoint's community in ``lbl`` (degree rides as row
+        # multiplicity: one row per incident edge)
+        return pd.DataFrame(
+            {
+                "key": es["other"].to_numpy(),
+                "other": pd.Series([""] * len(es), dtype=object),
+                "la": pd.Series([lbl] * len(es), dtype=object),
+                "kind": np.zeros(len(es), dtype=np.int64),
+            }
+        )
+
+    # first attach: community of ea onto edges keyed by ea → re-key eb
+    half = bucketed_map_groups(
+        labels.map_batches(tag_label, batch_format="pandas").union(
+            e0.map_batches(
+                lambda df: tag_edge_by(df, "ea", "eb"),
+                batch_format="pandas",
+            )
+        ),
+        "key",
+        attach,
+    )
+
+    # second attach: group by eb with its label row → (la, lb) pairs,
+    # plus this node's (community, deg) from the group itself
+    def pairs_and_deg(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["kind"] == 1, "la"].iloc[0]
+        es = g[g["kind"] == 0]
+        out = pd.DataFrame(
+            {
+                "community": es["la"].to_numpy(),
+                "n_nodes": np.zeros(len(es), dtype=np.int64),
+                "intra": (es["la"].to_numpy() == lbl).astype(np.int64),
+                "deg_sum": np.zeros(len(es), dtype=np.int64),
+            }
+        )
+        return out
+
+    def tag_label2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["subj"].astype(object),
+                "other": pd.Series([""] * len(df), dtype=object),
+                "la": df["community"].astype(object),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    pair_rows = bucketed_map_groups(
+        labels.map_batches(tag_label2, batch_format="pandas").union(half),
+        "key",
+        pairs_and_deg,
+    )
+
+    # per-node (community, deg) from both endpoints: one co-group over
+    # the doubled edge list + label rows
+    def tag_label3(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["subj"].astype(object),
+                "lbl": df["community"].astype(object),
+                "kind": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    def both_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.concat(
+                    [df["ea"], df["eb"]], ignore_index=True
+                ).astype(object),
+                "lbl": pd.Series([""] * (2 * len(df)), dtype=object),
+                "kind": np.zeros(2 * len(df), dtype=np.int64),
+            }
+        )
+
+    def node_deg(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["kind"] == 1, "lbl"].iloc[0]
+        deg = int((g["kind"] == 0).sum())
+        return pd.DataFrame(
+            {
+                "community": pd.Series([lbl], dtype=object),
+                "n_nodes": pd.Series([1], dtype=np.int64),
+                "intra": pd.Series([0], dtype=np.int64),
+                "deg_sum": pd.Series([deg], dtype=np.int64),
+            }
+        )
+
+    deg_rows = bucketed_map_groups(
+        labels.map_batches(tag_label3, batch_format="pandas").union(
+            e0.map_batches(both_ends, batch_format="pandas")
+        ),
+        "key",
+        node_deg,
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        e_c = int(g["intra"].sum())
+        d_c = int(g["deg_sum"].sum())
+        n_c = int(g["n_nodes"].sum())
+        q = (10**9 * e_c) // m_edges - (10**9 * d_c * d_c) // (
+            4 * m_edges * m_edges
+        )
+        return pd.DataFrame(
+            {
+                "community": [g["community"].iloc[0]],
+                "n_nodes": pd.Series([n_c], dtype=np.int64),
+                "intra_edges": pd.Series([e_c], dtype=np.int64),
+                "deg_sum": pd.Series([d_c], dtype=np.int64),
+                "q_e9": pd.Series([q], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(
+        pair_rows.union(deg_rows), "community", rollup
+    ).sort("community")
+
+
 def _kg_hostgraph_planted(sf_dir: str) -> Any:
     """Host-level hyperlink graph over the md5-planted linked corpus —
     the Common-Crawl web-graph primitive (host-to-host edge weights
@@ -2406,6 +2594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities over the extracted host graph (mutual
         # recursion, L1-normalized to the e6 grid each half-step)
         "kg_hits_planted": _kg_hits_planted,
+        # Newman modularity of the labelprop communities (quality gate)
+        "kg_modularity_planted": _kg_modularity_planted,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -2965,6 +3155,55 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS subj, lbl AS community FROM l7 ORDER BY subj
     """.replace("{triples}", triples_oracle_sql())
 
+    # Newman modularity of the labelprop communities: re-runs the same
+    # 7-round unroll, then per-community intra-edge / degree rollups;
+    # HUGEINT products mirror _kg_modularity_planted's Python-int floors
+    _MODULARITY_SQL = f"""
+        WITH m AS (
+            SELECT subj, obj AS url FROM ({{triples}})
+            WHERE pred = 'mentioned_in'
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.subj AS ea, b.subj AS eb
+            FROM m a JOIN m b ON a.url = b.url AND a.subj < b.subj
+            GROUP BY ea, eb HAVING count(*) >= 6
+        ),
+        e AS MATERIALIZED (
+            SELECT ea AS src, eb AS dst FROM e0
+            UNION ALL SELECT eb, ea FROM e0
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS lbl FROM e
+        ),
+        {','.join(_lp_rounds)},
+        mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+        intra AS (
+            SELECT la.lbl AS community, count(*)::BIGINT AS intra_edges
+            FROM e0
+            JOIN l7 la ON la.node = e0.ea
+            JOIN l7 lb ON lb.node = e0.eb
+            WHERE la.lbl = lb.lbl GROUP BY la.lbl
+        ),
+        degs AS (
+            SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src
+        ),
+        comm AS (
+            SELECT l.lbl AS community, count(*)::BIGINT AS n_nodes,
+                   sum(d.deg)::BIGINT AS deg_sum
+            FROM l7 l JOIN degs d ON d.node = l.node GROUP BY l.lbl
+        )
+        SELECT c.community, c.n_nodes,
+               coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+               c.deg_sum,
+               ((1000000000::HUGEINT * coalesce(i.intra_edges, 0)) // mm.m
+                - (1000000000::HUGEINT * c.deg_sum * c.deg_sum)
+                  // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_e9
+        FROM comm c
+        LEFT JOIN intra i ON i.community = c.community
+        CROSS JOIN mm
+        ORDER BY c.community
+    """.replace("{triples}", triples_oracle_sql())
+
     # common-neighbor link prediction: independent wedge self-join +
     # NOT EXISTS anti-join; jac_e6 floor-divides so both engines agree
     _LINKPRED_SQL = f"""
@@ -3329,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_labelprop_planted": _LABELPROP_SQL,
         "kg_neighbor_agg_planted": _NEIGHBOR_AGG_SQL,
+        "kg_modularity_planted": _MODULARITY_SQL,
         "kg_linkpred_planted": _LINKPRED_SQL,
         # BFS depths: depth-bounded recursive closure + min(d) agrees
         # with the fixed-round frontier expansion whenever rounds >=

@@ -428,3 +428,57 @@ def test_neighbor_agg_matches_python_sim(ray_session):
         assert [r.f0, r.f1, r.f2] == hist[r.subj], (r.subj,)
     assert (got["f1"] != got["f0"]).any()
     assert (got["f2"] != got["f1"]).any()
+
+
+def test_modularity_matches_python_recompute(ray_session):
+    """kg_modularity_planted vs a direct Python recompute of Newman Q
+    from the SAME strong edges and an independent sync-LPA partition —
+    pins the per-community rollups and the floor arithmetic, plus the
+    mass invariants (Σ n_nodes = |V|, Σ deg_sum = 2m, Σ intra <= m) and
+    that the labelprop partition actually scores positive modularity."""
+    from collections import Counter, defaultdict
+
+    import __ray_entry__ as E
+
+    com = E._kg_comention_planted(SF).to_pandas()
+    strong = com[com["n_docs"] >= 6]
+    edges = list(zip(strong["ea"], strong["eb"]))
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted(adj)
+    lab = {n: n for n in nodes}
+    for _ in range(7):
+        cnt = {v: Counter(lab[u] for u in adj[v]) for v in nodes}
+        lab = {
+            v: min(l for l, c in cnt[v].items() if c == max(cnt[v].values()))
+            for v in nodes
+        }
+    m = len(edges)
+    intra = Counter(lab[a] for a, b in edges if lab[a] == lab[b])
+    deg_sum = Counter()
+    n_nodes = Counter()
+    for v in nodes:
+        deg_sum[lab[v]] += len(adj[v])
+        n_nodes[lab[v]] += 1
+    want = {
+        c: (
+            n_nodes[c],
+            intra.get(c, 0),
+            deg_sum[c],
+            (10**9 * intra.get(c, 0)) // m
+            - (10**9 * deg_sum[c] * deg_sum[c]) // (4 * m * m),
+        )
+        for c in n_nodes
+    }
+
+    got = E._kg_modularity_planted(SF).to_pandas()
+    assert {
+        r.community: (r.n_nodes, r.intra_edges, r.deg_sum, r.q_e9)
+        for r in got.itertuples()
+    } == want
+    assert int(got["n_nodes"].sum()) == len(nodes)
+    assert int(got["deg_sum"].sum()) == 2 * m
+    assert int(got["intra_edges"].sum()) <= m
+    assert int(got["q_e9"].sum()) > 0  # a real community structure
