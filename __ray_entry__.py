@@ -2596,6 +2596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits_planted": _kg_hits_planted,
         # Newman modularity of the labelprop communities (quality gate)
         "kg_modularity_planted": _kg_modularity_planted,
+        # per-source robust (median/MAD) length-outlier flags
+        "doc_length_outliers": T.doc_length_outliers,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -3972,6 +3974,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = db
             WHERE 100 * i >= 60 * (sa.s + sb.s - i)
             ORDER BY doc_a, doc_b
+        """,
+        # robust per-source outliers: two quantile_disc passes (median,
+        # then MAD over the deviations) + the same integer flag
+        "doc_length_outliers": """
+            WITH med AS (
+                SELECT source, quantile_disc(n_chars, 0.50)::BIGINT AS med
+                FROM documents GROUP BY source
+            ),
+            dev AS (
+                SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars,
+                       med.med,
+                       abs(d.n_chars - med.med)::BIGINT AS dv
+                FROM documents d JOIN med USING (source)
+            ),
+            mad AS (
+                SELECT source, quantile_disc(dv, 0.50)::BIGINT AS mad
+                FROM dev GROUP BY source
+            )
+            SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad,
+                   (CASE WHEN dev.dv > 3 * mad.mad THEN 1
+                         ELSE 0 END)::BIGINT AS is_outlier
+            FROM dev JOIN mad USING (source) ORDER BY doc_id
         """,
         "corpus_source_percentiles": """
             SELECT source, pct, n_chars_pct FROM (

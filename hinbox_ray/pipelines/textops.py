@@ -2386,6 +2386,118 @@ def corpus_source_percentiles(
     ).sort(["source", "pct"])
 
 
+def _source_median(ds: ray.data.Dataset) -> dict:
+    """Exact per-source median of an int column (DuckDB
+    ``quantile_disc(x, 0.5)`` convention: sorted ascending, element at
+    index ceil(n/2) − 1) over a dataset of (source, val) rows.
+
+    Same shape as ``corpus_source_percentiles``: per-block
+    (source, val) → count combiner (distinct values are
+    value-vocabulary-scale), one source-hash co-group picks the rank
+    off the cumulative histogram, and the RESULT is source-cardinality
+    — the only thing that ever reaches the driver.
+    """
+    from ..stages.cogroup import bucketed_map_groups
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["source", "val"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["val"] = g["val"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("val", sort=True)["n"].sum()
+        vals = m.index.to_numpy(dtype=np.int64)
+        cum = np.cumsum(m.to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        rank = max(0, min(total - 1, -(-50 * total // 100) - 1))
+        idx = int(np.searchsorted(cum, rank, side="right"))
+        return pd.DataFrame(
+            {
+                "source": pd.Series([g["source"].iloc[0]], dtype=object),
+                "med": pd.Series([int(vals[idx])], dtype=np.int64),
+            }
+        )
+
+    rows = bucketed_map_groups(
+        ds.map_batches(combine, batch_format="pandas"), "source", pick
+    ).take_all()  # source-cardinality only
+    return {r["source"]: int(r["med"]) for r in rows}
+
+
+def doc_length_outliers(sf_dir: str, k_mad: int = 3) -> ray.data.Dataset:
+    """Per-source ROBUST length-outlier flags: a doc is an outlier in
+    its source iff |n_chars − median_src| > k·MAD_src (median absolute
+    deviation) — the robust-z-score curation filter that, unlike a
+    global length cutoff, adapts to each domain's own distribution and,
+    unlike mean/stddev, is not dragged by the very outliers it hunts
+    (Hampel filter / robust z-score, the standard length-anomaly gate).
+
+    All-integer: med and MAD use the exact quantile_disc(0.5)
+    convention and the flag compares |dev| > k·MAD directly, so the
+    DuckDB oracle (two quantile_disc passes + the same CASE) matches
+    hash-exactly. MAD = 0 (ultra-uniform source) flags every deviating
+    doc — deterministic on both engines.
+
+    Emits (doc_id, source, n_chars, med, mad, is_outlier) by doc_id.
+
+    Scale plan: three passes over the 3-column pruned projection —
+    median histogram, deviation-median histogram (med broadcast at
+    source-vocabulary scale into the map), final flag map. Each
+    histogram pass is the combiner-first co-group of
+    ``corpus_source_percentiles``; re-reading the pruned parquet twice
+    beats pinning a corpus-scale intermediate in the object store.
+    """
+
+    def to_sv(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "val": batch["n_chars"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    med = _source_median(ds.map_batches(to_sv, batch_format="pyarrow"))
+
+    def to_dev(batch: pa.Table) -> pd.DataFrame:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.fromiter((med[s] for s in src), dtype=np.int64, count=len(src))
+        return pd.DataFrame(
+            {"source": src, "val": np.abs(n - m).astype(np.int64)}
+        )
+
+    mad = _source_median(ds.map_batches(to_dev, batch_format="pyarrow"))
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.fromiter((med[s] for s in src), dtype=np.int64, count=len(src))
+        d = np.fromiter((mad[s] for s in src), dtype=np.int64, count=len(src))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "source": src,
+                "n_chars": n,
+                "med": m,
+                "mad": d,
+                "is_outlier": (np.abs(n - m) > k_mad * d).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
 def corpus_domain_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source corpus curation stats: docs, bytes, English share.
 

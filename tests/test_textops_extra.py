@@ -888,3 +888,36 @@ def test_dedup_jsonl_matches_parquet(ray_session):
     a = doc_dedup_exact(SF).to_pandas()
     b = doc_dedup_exact_jsonl(SF).to_pandas()
     assert a.equals(b)
+
+
+def test_length_outliers_match_numpy_mad(ray_session):
+    """doc_length_outliers vs a direct numpy median/MAD recompute —
+    pins the quantile_disc rank convention on both passes and that the
+    flag is non-vacuous in both directions (some outliers, not all)."""
+    import pyarrow.parquet as pq
+
+    from hinbox_ray.pipelines.textops import doc_length_outliers
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+
+    def qdisc(v):
+        v = np.sort(np.asarray(v, dtype=np.int64))
+        return int(v[max(0, -(-len(v) // 2) - 1)])
+
+    med = {s: qdisc(g["n_chars"]) for s, g in docs.groupby("source")}
+    docs["dv"] = abs(
+        docs["n_chars"] - docs["source"].map(med)
+    ).astype(np.int64)
+    mad = {s: qdisc(g["dv"]) for s, g in docs.groupby("source")}
+
+    got = doc_length_outliers(SF).to_pandas()
+    assert len(got) == len(docs)
+    for r in got.itertuples():
+        assert r.med == med[r.source]
+        assert r.mad == mad[r.source]
+        assert r.is_outlier == int(
+            abs(r.n_chars - r.med) > 3 * r.mad
+        ), r.doc_id
+    assert 0 < got["is_outlier"].sum() < len(got)
