@@ -2598,6 +2598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity_planted": _kg_modularity_planted,
         # per-source robust (median/MAD) length-outlier flags
         "doc_length_outliers": T.doc_length_outliers,
+        # cumulative window: per-user running spend + ordinal
+        "events_running_total": A.events_running_total,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -3619,6 +3621,20 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ), -1)::BIGINT AS delta_us
             FROM events ORDER BY event_id
+        """,
+        # cumulative window: cents rounded BEFORE the running sum so
+        # both engines accumulate identical int64 streams
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2,
+                   (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER w)::BIGINT AS run_sum_e2,
+                   (row_number() OVER w)::BIGINT AS run_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
         """,
         # hopping windows: each event expands to width/step = 3 step
         # rows; make_timestamp keeps the window label naive like ts

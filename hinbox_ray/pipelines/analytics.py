@@ -1247,6 +1247,53 @@ def events_interarrival(sf_dir: str) -> ray.data.Dataset:
     return bucketed_map_groups(ds, "user_id", deltas).sort("event_id")
 
 
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running totals — the CUMULATIVE window function
+    (SUM ... ROWS UNBOUNDED PRECEDING + row_number), completing the
+    window-family matrix beside LAG (events_interarrival) and the
+    trailing range window (events_trailing_count): for every event,
+    the user's cumulative spend and event ordinal so far, under the
+    deterministic (ts, event_id) ordering.
+
+    All-integer: value rounds to cents (floor(value·100 + 0.5), the
+    lineitem_agg convention) BEFORE the cumsum, so both engines sum
+    identical int64 streams — no float accumulation-order hazard.
+
+    Scale plan: one user-hash bucketed co-group; the kernel argsorts
+    the user's events and np.cumsum's the cents — same per-key
+    vectorized family as interarrival/sessionize. Output is
+    corpus-scale by definition (one row per event); no driver state.
+    """
+    import numpy as np
+
+    from ..stages.cogroup import bucketed_map_groups
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        v = np.floor(g["value"].to_numpy(dtype=np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, ts))
+        eid, v = eid[order], v[order]
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.full(
+                    len(eid), int(g["user_id"].iloc[0]), dtype=np.int64
+                ),
+                "value_e2": v,
+                "run_sum_e2": np.cumsum(v),
+                "run_n": np.arange(1, len(eid) + 1, dtype=np.int64),
+            }
+        )
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return bucketed_map_groups(ds, "user_id", running).sort("event_id")
+
+
 def events_hourly_gapfill(sf_dir: str) -> ray.data.Dataset:
     """Dense per-type hourly counts with zero-fill — the resample /
     dimension-densification operator (the one shape that GENERATES

@@ -231,3 +231,28 @@ def test_sliding_window_matches_pandas_expansion(ray_session):
     # what disjoint windows could give (some user double-counted)
     tumbling = exp[exp["wstep"] % 3 == 0]
     assert int(got["n_users"].sum()) > tumbling["user_id"].nunique()
+
+
+def test_running_total_matches_pandas_cumsum(ray_session):
+    """events_running_total vs a pandas groupby cumsum over the same
+    integer cents — pins the (ts, event_id) ordering and that the
+    final ordinal per user equals the user's event count."""
+    from hinbox_ray.pipelines.analytics import events_running_total
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).to_pandas()
+    ev["value_e2"] = np.floor(ev["value"] * 100 + 0.5).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["run_sum_e2"] = ev.groupby("user_id")["value_e2"].cumsum()
+    ev["run_n"] = ev.groupby("user_id").cumcount() + 1
+
+    got = events_running_total(SF).to_pandas()
+    want = ev.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert (got["run_sum_e2"].to_numpy() == want["run_sum_e2"].to_numpy()).all()
+    assert (got["run_n"].to_numpy() == want["run_n"].to_numpy()).all()
+    per_user_last = got.groupby("user_id")["run_n"].max()
+    counts = ev.groupby("user_id").size()
+    assert per_user_last.sort_index().tolist() == counts.sort_index().tolist()
