@@ -2600,6 +2600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_outliers": T.doc_length_outliers,
         # cumulative window: per-user running spend + ordinal
         "events_running_total": A.events_running_total,
+        # third ingest format: dedup over a sharded-CSV round-trip
+        "doc_dedup_exact_csv": T.doc_dedup_exact_csv,
         # ── late-window: green in r3, outside r4's sweep window ───────
         "knn_bruteforce": T.knn_bruteforce,
         "knn_ivf": T.knn_ivf,
@@ -3790,6 +3792,13 @@ def oracle_sql() -> dict[str, str]:
         # a sharded-JSONL round-trip of the table, so a hash match
         # proves the non-parquet ingest path is lossless
         "doc_dedup_exact_jsonl": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text_md5 ORDER BY text_md5
+        """,
+        # same again for the CSV round-trip (quoted-newline parsing)
+        "doc_dedup_exact_csv": """
             SELECT md5(text) AS text_md5,
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups

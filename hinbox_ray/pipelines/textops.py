@@ -132,6 +132,19 @@ def doc_dedup_exact_jsonl(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_dedup_exact_csv(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup over the CSV source path — same pipeline body as
+    ``doc_dedup_exact`` but reading the documents table through a
+    sharded-CSV round-trip (``sources/reader.py:read_documents_csv``,
+    quoted newlines enabled). Hash-matching the parquet-reading oracle
+    proves the third ingest format is byte-lossless end to end."""
+    from ..sources.reader import read_documents_csv
+
+    return _dedup_exact_over(
+        read_documents_csv(sf_dir, columns=["doc_id", "text"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token / quality statistics
 

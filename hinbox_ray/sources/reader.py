@@ -104,3 +104,54 @@ def read_documents_jsonl(
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def read_documents_csv(
+    sf_dir: str,
+    columns: Optional[List[str]] = None,
+    cache_root: str = "/tmp/graft_csv",
+) -> ray.data.Dataset:
+    """The documents table through a sharded-CSV round-trip — the third
+    source format beside parquet and JSONL. Same atomic write-once /
+    stream-back idiom as ``read_documents_jsonl``; the Arrow CSV
+    reader is configured with ``newlines_in_values`` so quoted
+    multi-line text fields survive byte-exactly (the property
+    Q:`doc_dedup_exact_csv` hash-checks against the parquet oracle).
+
+    Scale note: CSV is the worst of the three formats at scale — no
+    column pruning, no statistics, and quoting forces a serial scan
+    within each shard; it exists for ingest parity with CSV-native
+    corpora. Parquet remains the recommended format.
+    """
+    import shutil
+
+    from pyarrow import csv as pacsv
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(cache_root, base)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet")
+        ).write_csv(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        with open(marker, "w"):
+            pass
+    ds = ray.data.read_csv(
+        out,
+        file_extensions=["csv"],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        # Arrow's quoted_strings_can_be_null default is True, so a
+        # shard whose text values are all "" infers as a null column
+        # (empty text comes back None); both flags off keep "" as ""
+        convert_options=pacsv.ConvertOptions(
+            strings_can_be_null=False, quoted_strings_can_be_null=False
+        ),
+    )
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -921,3 +921,60 @@ def test_length_outliers_match_numpy_mad(ray_session):
             abs(r.n_chars - r.med) > 3 * r.mad
         ), r.doc_id
     assert 0 < got["is_outlier"].sum() < len(got)
+
+
+def test_csv_roundtrip_survives_hostile_text(ray_session, tmp_path):
+    """The CSV source path must be byte-lossless on text the fixtures
+    don't contain: embedded newlines, double quotes, commas, unicode,
+    leading/trailing whitespace and the empty string — a synthetic
+    hostile table through the same write_csv/read_csv options."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray as _ray
+    from pyarrow import csv as pacsv
+
+    hostile = [
+        "plain",
+        "comma, separated, values",
+        'she said "quoted"',
+        "line one\nline two\r\nline three",
+        "unicode: héllo wörld — 你好",
+        "  padded  ",
+        "",
+        'mix: "q", nl\nand, more',
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(hostile)), type=pa.int64()),
+            "text": pa.array(hostile, type=pa.string()),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq2.write_table(tbl, src)
+    out = tmp_path / "csv"
+    _ray.data.read_parquet(str(src)).write_csv(str(out))
+    got = (
+        _ray.data.read_csv(
+            str(out),
+            file_extensions=["csv"],
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                strings_can_be_null=False, quoted_strings_can_be_null=False
+            ),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == hostile
+
+
+def test_dedup_csv_matches_parquet(ray_session):
+    from hinbox_ray.pipelines.textops import (
+        doc_dedup_exact,
+        doc_dedup_exact_csv,
+    )
+
+    a = doc_dedup_exact(SF).to_pandas()
+    b = doc_dedup_exact_csv(SF).to_pandas()
+    assert a.equals(b)
